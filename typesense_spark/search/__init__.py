@@ -1,0 +1,2 @@
+from typesense_spark.search.engine import SearchRequest, SearchResult, search  # noqa: F401
+from typesense_spark.search.expand import expand_query, levenshtein  # noqa: F401

@@ -1,0 +1,275 @@
+"""Query engine — the read path (SURVEY.md §2.3 Q1-Q25).
+
+Maps the reference's hand-rolled pipeline onto declarative Spark:
+
+- Q1 parse (driver), Q3 typo expansion (``expand.py``), Q6/Q7/Q8
+  AND/OR/ANDNOT as joins + aggregation over decoded postings,
+- Q9 filters = plain ``WHERE`` on the docs table + semi-join,
+- Q10 wildcard = docs scan + sort,
+- Q13/Q14 sort + top-k = ``ORDER BY score DESC, doc_id DESC LIMIT k``
+  (Spark's ``TakeOrderedAndProject`` IS the distributed Topster,
+  ``/root/reference/include/topster.h:92-267``),
+- Q15 grouped top-k = window ``row_number() <= group_limit``,
+- Q16 drop-tokens = driver retry loop
+  (``/root/reference/src/index.cpp:1757-1783``),
+- Q17-Q19 facets = groupBy counts + min/max/sum/avg stats
+  (``/root/reference/src/index.cpp:608-816``),
+- Q22 pagination, Q24 projection, Q25 hydration = offset/limit +
+  ``select`` + join back to docs.
+
+Scoring: per-(term,doc) BM25 contributions are int64 milli values baked
+into the postings at build time (``scoring.py``); a doc's score for a
+query token is the MAX over that token's typo/prefix candidates, summed
+across tokens — all exact long arithmetic, so results are identical
+across partition counts, the DuckDB oracle, and the Python oracle.
+Ties: score DESC then doc_id DESC, like the reference
+(``include/topster.h:254-257``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from typesense_spark.index.build import Index
+from typesense_spark.search.expand import expand_query
+from typesense_spark.tokenizer import tokenize_terms
+
+DEFAULT_PER_PAGE = 10  # reference: src/core_api.cpp:351
+MAX_HITS = 250  # reference: src/core_api.cpp:324-329
+
+
+@dataclass
+class SearchRequest:
+    q: str
+    fields: tuple[str, ...] = ("content",)
+    mode: str = "and"  # AND intersection (reference default) | 'or'
+    filter_expr: str | None = None  # SQL boolean over docs columns (Q9)
+    facet_by: tuple[str, ...] = ()
+    facet_stats_for: tuple[str, ...] = ()  # numeric cols → min/max/sum/avg
+    max_facet_values: int = 10  # reference: src/core_api.cpp:316
+    group_by: tuple[str, ...] = ()
+    group_limit: int = 3  # reference: src/core_api.cpp:376
+    num_typos: int = 2  # reference: src/core_api.cpp:295
+    prefix_last: bool = False  # reference default true; pinned opt-in
+    drop_tokens_threshold: int = 10  # reference: src/index.cpp:305
+    page: int = 1
+    per_page: int = DEFAULT_PER_PAGE
+    sort_by: tuple[tuple[str, str], ...] = ()  # [(col, 'asc'|'desc')]; wildcard
+    include_fields: tuple[str, ...] = ()
+    use_wand: bool = False
+
+
+@dataclass
+class SearchResult:
+    hits: DataFrame  # rank, doc_id, score_milli (+include_fields)
+    matched: DataFrame  # full candidate set (doc_id, score_milli)
+    found: int
+    facets: dict = dc_field(default_factory=dict)
+    facet_stats: dict = dc_field(default_factory=dict)
+    attempts: list = dc_field(default_factory=list)
+    grouped: DataFrame | None = None
+
+
+def parse_query(q: str) -> tuple[list[str], list[str]]:
+    """Reference Q1: '-tok' → exclude list; '*' → wildcard
+    (src/collection.cpp:1166-1195). Tokens are run through the pinned
+    tokenizer so query-side normalization == index-side."""
+    include, exclude = [], []
+    for raw in q.split(" "):
+        if raw.startswith("-") and len(raw) > 1:
+            exclude.extend(tokenize_terms(raw[1:]))
+        elif raw == "*":
+            include.append("*")
+        else:
+            include.extend(tokenize_terms(raw))
+    return include, exclude
+
+
+def _get_term_df(index: Index, fields: tuple[str, ...]) -> dict[str, int]:
+    """Driver-side term dictionary {term: df} (cached per field set).
+
+    Scale note: for dictionaries too large to collect, use
+    ``expand.expand_terms_spark`` against the terms DataFrame instead;
+    the rest of the plan is unchanged.
+    """
+    cache = getattr(index, "_term_df_cache", None)
+    if cache is None:
+        cache = {}
+        index._term_df_cache = cache
+    key = tuple(sorted(fields))
+    if key not in cache:
+        rows = (
+            index.terms.where(F.col("field").isin(list(fields)))
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
+            .collect()
+        )
+        cache[key] = {r["term"]: int(r["df"]) for r in rows}
+    return cache[key]
+
+
+def _score_tokens(
+    index: Index,
+    tokens: list[str],
+    cand_map: dict[str, list[tuple[str, int]]],
+    fields: tuple[str, ...],
+    mode: str,
+    use_wand: bool = False,
+) -> DataFrame | None:
+    """Candidate postings → (doc_id, score_milli). None if no candidates."""
+    pairs = [
+        (i, term) for i, tok in enumerate(tokens) for term, _ in cand_map.get(tok, [])
+    ]
+    if not pairs or (mode == "and" and any(not cand_map.get(t) for t in tokens)):
+        return None
+    all_terms = sorted({t for _, t in pairs})
+    if use_wand and mode == "or":
+        from typesense_spark.index.build import decode_postings
+        from typesense_spark.search.wand import prune_blocks
+
+        pruned = prune_blocks(index, tokens, cand_map, fields, k=MAX_HITS)
+        decoded = decode_postings(pruned)
+    else:
+        decoded = index.decoded(all_terms, list(fields))
+    tmap = index.spark.createDataFrame(pairs, schema="qidx int, term string")
+    per_tok = (
+        decoded.join(F.broadcast(tmap), "term")
+        # multi-field: a token's score for a doc is its best field's best
+        # candidate (reference aggregates best per-field scores,
+        # src/index.cpp:1495-1593; pinned: max over fields×candidates)
+        .groupBy("doc_id", "qidx")
+        .agg(F.max("contrib").alias("tok_score"))
+    )
+    scored = per_tok.groupBy("doc_id").agg(
+        F.sum("tok_score").alias("score_milli"), F.count("*").alias("nmatch")
+    )
+    if mode == "and":
+        scored = scored.where(F.col("nmatch") == len(tokens))
+    return scored.select("doc_id", "score_milli")
+
+
+def _apply_excludes(
+    index: Index, scored: DataFrame, excludes: list[str], fields: tuple[str, ...]
+) -> DataFrame:
+    """Q8 ANDNOT: anti-join docs containing any excluded (exact) term
+    (reference excludes exact tokens, src/index.cpp:1357-1376)."""
+    if not excludes:
+        return scored
+    ex_docs = index.decoded(sorted(set(excludes)), list(fields)).select("doc_id").distinct()
+    return scored.join(ex_docs, "doc_id", "left_anti")
+
+
+def search(index: Index, req: SearchRequest) -> SearchResult:
+    tokens, excludes = parse_query(req.q)
+    docs = index.docs
+
+    if tokens == ["*"]:
+        # Q10 wildcard: doc universe, scored 0, attribute-sorted
+        matched = docs.select("doc_id", F.lit(0).cast("long").alias("score_milli"))
+        attempts = [["*"]]
+    else:
+        term_df = _get_term_df(index, req.fields)
+        # Q16 drop-tokens driver loop (reference src/index.cpp:1757-1783):
+        # for drop count d = 1..n-1, keep tokens[:n-d] while d <= n//2,
+        # else tokens[d - n//2:]; results accumulate across attempts
+        # (dedup by doc, max score); stop once found >= threshold.
+        n = len(tokens)
+        plan = [tokens] + [
+            tokens[: n - d] if d <= n // 2 else tokens[d - n // 2 :]
+            for d in range(1, n)
+        ]
+        matched = None
+        attempts = []
+        for attempt in plan:
+            cand = expand_query(attempt, term_df, req.num_typos, req.prefix_last)
+            scored = _score_tokens(
+                index, attempt, cand, req.fields, req.mode, req.use_wand
+            )
+            attempts.append(attempt)
+            if scored is not None:
+                matched = (
+                    scored
+                    if matched is None
+                    else matched.unionByName(scored)
+                    .groupBy("doc_id")
+                    .agg(F.max("score_milli").alias("score_milli"))
+                )
+                if (
+                    matched.limit(req.drop_tokens_threshold).count()
+                    >= req.drop_tokens_threshold
+                ):
+                    break
+        if matched is None:
+            matched = index.spark.createDataFrame(
+                [], schema="doc_id long, score_milli long"
+            )
+        matched = _apply_excludes(index, matched, excludes, req.fields)
+
+    if req.filter_expr:
+        # Q9: plain WHERE on docs (Catalyst pushdown) + semi-join
+        keep = docs.where(req.filter_expr).select("doc_id")
+        matched = matched.join(keep, "doc_id", "left_semi")
+
+    found = matched.count()
+
+    # Q17-Q19 facets over the FULL matched set (not just the page)
+    facets, facet_stats = {}, {}
+    if req.facet_by or req.facet_stats_for:
+        mdocs = matched.join(docs, "doc_id")
+        for col in req.facet_by:
+            facets[col] = (
+                mdocs.groupBy(F.col(col).alias("facet_value"))
+                .agg(F.count("*").alias("facet_count"))
+                .orderBy(F.col("facet_count").desc(), F.col("facet_value"))
+                .limit(req.max_facet_values)
+            )
+        for col in req.facet_stats_for:
+            facet_stats[col] = mdocs.agg(
+                F.min(col).cast("double").alias("stat_min"),
+                F.max(col).cast("double").alias("stat_max"),
+                F.sum(col).cast("double").alias("stat_sum"),
+                F.avg(col).alias("stat_avg"),
+                F.count(col).alias("stat_count"),
+            )
+
+    # ordering: explicit sort_by (wildcard path) else score DESC,
+    # doc_id DESC (reference tie-break, topster.h:254-257)
+    order = [
+        (F.col(c).desc() if d.lower() == "desc" else F.col(c).asc())
+        for c, d in req.sort_by
+    ] + [F.col("score_milli").desc(), F.col("doc_id").desc()]
+
+    hydrated = matched.join(docs, "doc_id") if (req.sort_by or req.include_fields or req.group_by) else matched
+
+    grouped = None
+    if req.group_by:
+        # Q15 grouped top-k
+        wg = Window.partitionBy(*req.group_by).orderBy(*order)
+        grouped = (
+            hydrated.withColumn("group_rank", F.row_number().over(wg))
+            .where(F.col("group_rank") <= req.group_limit)
+            .select(*req.group_by, "doc_id", "score_milli", "group_rank")
+        )
+
+    # Q14/Q22: distributed top-k (TakeOrderedAndProject) then page slice
+    top_n = req.page * req.per_page
+    top = hydrated.orderBy(*order).limit(top_n)
+    w = Window.orderBy(*order)  # ≤ page*per_page rows — driver-scale
+    proj = ["rank", "doc_id", "score_milli", *req.include_fields]
+    hits = (
+        top.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") > (req.page - 1) * req.per_page)
+        .select(*proj)
+    )
+    return SearchResult(
+        hits=hits,
+        matched=matched,
+        found=found,
+        facets=facets,
+        facet_stats=facet_stats,
+        attempts=attempts,
+        grouped=grouped,
+    )

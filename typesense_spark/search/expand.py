@@ -1,0 +1,134 @@
+"""Typo / prefix term expansion against the term dictionary.
+
+Reference semantics (``/root/reference/src/art.cpp:1384-1427`` fuzzy
+trie traversal; candidate caps ``/root/reference/src/index.cpp:1700-1704``):
+
+- per query token, candidate terms within edit distance ≤ ``num_typos``
+  (≤2); tokens of length 1-2 get cost cap ``len-1``
+  (``get_bounded_typo_cost``, ``src/index.cpp:1786-1792``);
+- candidates ranked by document frequency (``token_ordering FREQUENCY``,
+  ``include/art.h:124-127``), capped at 3 per cost level — 10 in prefix
+  mode (``src/index.cpp:837,1700-1704``);
+- prefix mode applies to the LAST query token
+  (``src/index.cpp:1697-1702``).
+
+Pinned deviations (documented; both the engine and ALL oracles use the
+pinned spec, so parity is engine↔oracle): plain Levenshtein instead of
+Damerau-OSA (so Spark's ``F.levenshtein``, DuckDB's ``levenshtein`` and
+this pure-Python DP all agree); rank ties broken by term ASC for
+determinism; a doc scores each query token as the MAX BM25 contribution
+over that token's candidates.
+
+Two implementations:
+- driver path (here): expand against a collected {term: df} dict —
+  fine up to tens of millions of terms;
+- scale path: :func:`expand_terms_spark` — an ``F.levenshtein`` join
+  against the terms DataFrame with a per-cost ranked window, for
+  dictionaries too large to collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MAX_CANDIDATES = 3
+MAX_CANDIDATES_PREFIX = 10
+
+
+def levenshtein(a: str, b: str) -> int:
+    """Plain Levenshtein DP — identical to Spark/DuckDB ``levenshtein``."""
+    if a == b:
+        return 0
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def bounded_typo_cost(token: str, num_typos: int) -> int:
+    """Reference: len 1-2 tokens get cost cap len-1 (src/index.cpp:1786-1792)."""
+    return min(num_typos, max(len(token) - 1, 0)) if len(token) < 3 else num_typos
+
+
+def expand_token(
+    token: str,
+    term_df: dict[str, int],
+    num_typos: int = 2,
+    prefix: bool = False,
+) -> list[tuple[str, int]]:
+    """One query token → [(candidate_term, cost)], per the pinned spec."""
+    out: dict[str, int] = {}
+    if token in term_df:
+        out[token] = 0
+    max_cost = bounded_typo_cost(token, num_typos)
+    if max_cost > 0:
+        by_cost: dict[int, list[tuple[int, str]]] = {}
+        for t, df in term_df.items():
+            if abs(len(t) - len(token)) > max_cost or t == token:
+                continue
+            c = levenshtein(t, token)
+            if 1 <= c <= max_cost:
+                by_cost.setdefault(c, []).append((-df, t))
+        for c, lst in by_cost.items():
+            for _, t in sorted(lst)[:MAX_CANDIDATES]:
+                out.setdefault(t, c)
+    if prefix:
+        pref = sorted(
+            ((-df, t) for t, df in term_df.items() if t.startswith(token) and t != token)
+        )[:MAX_CANDIDATES_PREFIX]
+        for _, t in pref:
+            out.setdefault(t, 0)
+    return sorted(out.items())
+
+
+def expand_query(
+    tokens: list[str],
+    term_df: dict[str, int],
+    num_typos: int = 2,
+    prefix_last: bool = True,
+) -> dict[str, list[tuple[str, int]]]:
+    """All query tokens → candidate map (prefix applies to last token)."""
+    return {
+        tok: expand_token(
+            tok, term_df, num_typos, prefix=prefix_last and i == len(tokens) - 1
+        )
+        for i, tok in enumerate(tokens)
+    }
+
+
+def expand_terms_spark(
+    terms_df: DataFrame, token: str, num_typos: int = 2, prefix: bool = False
+) -> DataFrame:
+    """Scale path: the same expansion as a Spark plan over the terms table.
+
+    Returns (term, cost). ``F.levenshtein`` with a threshold is
+    Catalyst-optimized; the rank caps use a per-cost window.
+    """
+    max_cost = bounded_typo_cost(token, num_typos)
+    cand = terms_df.select(
+        "term", "df", F.levenshtein(F.col("term"), F.lit(token)).alias("cost")
+    ).where(F.col("cost") <= max_cost)
+    w = Window.partitionBy("cost").orderBy(F.col("df").desc(), F.col("term"))
+    typo = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where((F.col("cost") == 0) | (F.col("rn") <= MAX_CANDIDATES))
+        .select("term", "cost")
+    )
+    if not prefix:
+        return typo
+    wp = Window.orderBy(F.col("df").desc(), F.col("term"))
+    pref = (
+        terms_df.where(F.col("term").startswith(token) & (F.col("term") != token))
+        .withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") <= MAX_CANDIDATES_PREFIX)
+        .select("term", F.lit(0).alias("cost"))
+    )
+    return typo.unionByName(pref).groupBy("term").agg(F.min("cost").alias("cost"))

@@ -1,0 +1,90 @@
+"""Block-max WAND pruning (SURVEY.md §4 "Top-k pruning", M4).
+
+The reference's analogue is the per-term ``leaf->max_score``
+(``/root/reference/src/art.cpp:411-412``) feeding a bounded min-heap
+(``include/topster.h:98-104``). Our postings blocks carry a true
+per-block upper bound ``max_contrib`` (max quantized BM25 contribution
+of any doc in the block, computed at build time with the real dl) —
+strictly tighter than a per-term bound.
+
+Distributed shape (set-at-a-time rather than the classic cursor walk):
+
+1. cheap lower-bound pass: fully score only the candidates of the
+   single query token with the highest upper bound; the k-th best
+   partial score is a valid threshold τ (any doc's subset-of-tokens
+   score lower-bounds its full OR score);
+2. block filter on METADATA ONLY (no decode): a block of token i
+   survives iff ``block.max_contrib + Σ_{j≠i} ub_j ≥ τ``. Any doc
+   confined to pruned blocks has true score < τ ≤ k-th best, so it can
+   neither enter nor perturb the top-k (proof: its computed partial
+   score ≤ true score < τ while every true top-k doc keeps all blocks
+   whose bound clears τ... pruned contributions belong only to docs
+   whose total bound is < τ);
+3. decode survivors and score normally.
+
+The win at scale: step 2 is a column-pruned scan of tiny block
+metadata; the expensive decode + shuffle only touches surviving blocks.
+Equality with the exhaustive plan is asserted in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def prune_blocks(
+    index,
+    tokens: list[str],
+    cand_map: dict[str, list[tuple[str, int]]],
+    fields,
+    k: int,
+) -> DataFrame:
+    """Return the pruned postings-block DataFrame for an OR query."""
+    tok_terms = {tok: [t for t, _ in cand_map.get(tok, [])] for tok in tokens}
+    all_terms = sorted({t for ts in tok_terms.values() for t in ts})
+    if not all_terms:
+        return index.candidate_postings([], list(fields))
+    blocks = index.candidate_postings(all_terms, list(fields))
+
+    # per-token upper bound from block metadata only
+    term_ub = {
+        r["term"]: int(r["ub"])
+        for r in blocks.groupBy("term").agg(F.max("max_contrib").alias("ub")).collect()
+    }
+    tok_ub = {
+        tok: max((term_ub.get(t, 0) for t in ts), default=0)
+        for tok, ts in tok_terms.items()
+    }
+    total_ub = sum(tok_ub.values())
+
+    # lower-bound pass: score the heaviest token's candidates only
+    heavy = max(tokens, key=lambda t: tok_ub.get(t, 0))
+    heavy_terms = tok_terms.get(heavy) or all_terms
+    from typesense_spark.index.build import decode_postings
+
+    partial = (
+        decode_postings(index.candidate_postings(heavy_terms, list(fields)))
+        .groupBy("doc_id")
+        .agg(F.max("contrib").alias("s"))
+        .orderBy(F.col("s").desc())
+        .limit(k)
+        .collect()
+    )
+    tau = int(partial[-1]["s"]) if len(partial) >= k else 0
+
+    # metadata-only block filter: max_contrib + (total_ub - own token ub) >= τ.
+    # A term serving several tokens keeps the LARGEST token ub
+    # (conservative: more blocks survive, never fewer).
+    term_tok_ub: dict[str, int] = {}
+    for tok, ts in tok_terms.items():
+        for t in ts:
+            term_tok_ub[t] = max(term_tok_ub.get(t, 0), tok_ub[tok])
+    ub_map = F.create_map(
+        *[F.lit(x) for pair in term_tok_ub.items() for x in pair]
+    )
+    survived = blocks.where(
+        F.col("max_contrib") + (F.lit(total_ub) - F.element_at(ub_map, F.col("term")))
+        >= F.lit(tau)
+    )
+    return survived
