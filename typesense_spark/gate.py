@@ -1,0 +1,622 @@
+"""Driver correctness-gate wiring: one (Spark callable, DuckDB oracle
+SQL) pair per implemented operator from SURVEY.md §2 plus the
+training-data ops. ``__spark_entry__`` re-exports these.
+
+Every oracle recomputes the full pipeline (tokenize → tf/dl/stats →
+quantized BM25) from the raw ``documents`` view in pure SQL, so the
+comparison is engine-vs-independent-implementation, not
+engine-vs-itself. Column names and integer quantization are pinned on
+both sides (see ``scoring.py`` for why scores are exact int64).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from typesense_spark import scoring
+from typesense_spark.search.expand import (
+    MAX_CANDIDATES,
+    MAX_CANDIDATES_PREFIX,
+    bounded_typo_cost,
+)
+
+# --------------------------------------------------------------- index cache
+
+_INDEX_CACHE: dict[str, object] = {}
+
+GATE_BUILD = dict(
+    fields=["text"],
+    id_col="doc_id",
+    num_buckets=8,
+    block_size=64,
+    salt_threshold=50,  # low on purpose: exercises the hot-term salting path
+    n_salts=4,
+)
+
+
+def get_index(spark: SparkSession, sf_dir: str):
+    key = f"{id(spark)}:{sf_dir}"
+    if key not in _INDEX_CACHE:
+        from typesense_spark.index import build_index
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        _INDEX_CACHE[key] = build_index(spark, docs, **GATE_BUILD)
+    return _INDEX_CACHE[key]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --------------------------------------------------------- oracle SQL pieces
+
+# tokenizer (pinned spec, tokenizer.py) as SQL; positions = raw split
+# index (empty tokens consume positions, like the reference's keep_empty)
+_PRELUDE = """
+WITH rawtok AS (
+  SELECT doc_id, i AS pos,
+         regexp_replace(lower(l[i + 1]), '[^a-z0-9]', '', 'g') AS term
+  FROM (SELECT doc_id, string_split_regex(text, '[ \n]') AS l FROM documents)
+  CROSS JOIN range(0, 8192) AS r(i)
+  WHERE i < len(l)
+),
+tok AS (SELECT doc_id, pos, term FROM rawtok WHERE term <> ''),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+tstat AS (SELECT term, count(*) AS df, sum(tf) AS cf, max(tf) AS max_tf FROM tf GROUP BY 1),
+contrib AS (
+  SELECT tf.doc_id, tf.term, {contrib} AS c
+  FROM tf JOIN dl USING (doc_id) JOIN tstat USING (term) CROSS JOIN stats
+)
+""".replace(
+    "{contrib}",
+    scoring.duckdb_contrib_sql("tf.tf", "dl.dl", "tstat.df", "stats.n", "stats.avgdl"),
+)
+
+
+def _cand_sql(tokens: list[str], num_typos: int, prefix_last: bool) -> str:
+    """Candidate CTE mirroring expand.expand_query exactly (caps, ranks)."""
+    parts = []
+    for i, tok in enumerate(tokens):
+        mc = bounded_typo_cost(tok, num_typos)
+        parts.append(
+            f"SELECT {i} AS qidx, term FROM ("
+            f"SELECT term, levenshtein(term, '{tok}') AS cost, "
+            f"row_number() OVER (PARTITION BY levenshtein(term, '{tok}') "
+            f"ORDER BY df DESC, term) AS rn "
+            f"FROM tstat WHERE levenshtein(term, '{tok}') <= {mc}"
+            f") WHERE cost = 0 OR rn <= {MAX_CANDIDATES}"
+        )
+        if prefix_last and i == len(tokens) - 1:
+            parts.append(
+                f"SELECT {i} AS qidx, term FROM ("
+                f"SELECT term, row_number() OVER (ORDER BY df DESC, term) AS rn "
+                f"FROM tstat WHERE term LIKE '{tok}%' AND term <> '{tok}'"
+                f") WHERE rn <= {MAX_CANDIDATES_PREFIX}"
+            )
+    return (
+        ", cand AS (SELECT DISTINCT qidx, term FROM ("
+        + " UNION ALL ".join(parts)
+        + "))"
+    )
+
+
+def _scored_sql(n_tokens: int, mode: str = "and") -> str:
+    having = f"HAVING count(*) = {n_tokens}" if mode == "and" else ""
+    return (
+        ", per_tok AS (SELECT contrib.doc_id, cand.qidx, max(contrib.c) AS best "
+        "FROM contrib JOIN cand USING (term) GROUP BY 1, 2)"
+        ", scored AS (SELECT doc_id, sum(best) AS score_milli FROM per_tok "
+        f"GROUP BY 1 {having})"
+    )
+
+
+def _hits_sql(per_page: int = 10, page: int = 1, extra: str = "") -> str:
+    off = (page - 1) * per_page
+    return (
+        " SELECT CAST(rn AS BIGINT) AS rank, doc_id, score_milli" + extra + " FROM ("
+        "SELECT *, row_number() OVER (ORDER BY score_milli DESC, doc_id DESC) AS rn "
+        "FROM scored) WHERE rn > " + str(off) + " AND rn <= " + str(page * per_page)
+    )
+
+
+def bm25_oracle(
+    tokens: list[str],
+    num_typos: int = 0,
+    prefix_last: bool = False,
+    mode: str = "and",
+    per_page: int = 10,
+    page: int = 1,
+) -> str:
+    return (
+        _PRELUDE
+        + _cand_sql(tokens, num_typos, prefix_last)
+        + _scored_sql(len(tokens), mode)
+        + _hits_sql(per_page, page)
+    )
+
+
+# ------------------------------------------------------------ query builders
+
+
+def _hits(res) -> DataFrame:
+    return res.hits.select(
+        F.col("rank").cast("long").alias("rank"), "doc_id", "score_milli"
+    )
+
+
+def _search(spark, sf_dir, **kw):
+    from typesense_spark.search import SearchRequest, search
+
+    return search(get_index(spark, sf_dir), SearchRequest(fields=("text",), **kw))
+
+
+def q_exact_term(spark, sf_dir):
+    """Q1+Q6+Q14: single exact term, BM25 top-10."""
+    return _hits(_search(spark, sf_dir, q="table", num_typos=0))
+
+
+def q_multi_and(spark, sf_dir):
+    """Q6: k-way posting intersection (AND), BM25 top-10."""
+    return _hits(_search(spark, sf_dir, q="merge batch window", num_typos=0))
+
+
+def q_multi_or(spark, sf_dir):
+    """Q7: posting union (OR), BM25 top-10."""
+    return _hits(_search(spark, sf_dir, q="merge window", num_typos=0, mode="or"))
+
+
+def q_exclusion(spark, sf_dir):
+    """Q8: ANDNOT exclusion via '-token'."""
+    return _hits(_search(spark, sf_dir, q="merge -batch", num_typos=0))
+
+
+def q_typo(spark, sf_dir):
+    """Q3: Levenshtein ≤2 typo expansion with reference candidate caps."""
+    return _hits(_search(spark, sf_dir, q="merg", num_typos=2))
+
+
+def q_prefix(spark, sf_dir):
+    """Q3 prefix mode: prefix-on-last-token expansion."""
+    return _hits(_search(spark, sf_dir, q="wind", num_typos=0, prefix_last=True))
+
+
+def q_drop_tokens(spark, sf_dir):
+    """Q16: drop-tokens fallback ('zzznope' matches nothing)."""
+    return _hits(_search(spark, sf_dir, q="merge zzznope", num_typos=0))
+
+
+def q_filter(spark, sf_dir):
+    """Q9: attribute filter conjunction with the text query."""
+    return _hits(
+        _search(spark, sf_dir, q="merge", num_typos=0, filter_expr="lang = 'en' AND n_chars >= 200")
+    )
+
+
+def q_wildcard(spark, sf_dir):
+    """Q10: wildcard q=* with filter + attribute sort."""
+    res = _search(
+        spark,
+        sf_dir,
+        q="*",
+        filter_expr="lang = 'en'",
+        sort_by=(("n_chars", "desc"),),
+        include_fields=("n_chars",),
+    )
+    return res.hits.select(
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+def q_facet_counts(spark, sf_dir):
+    """Q17/Q19: facet counting over the full matched set."""
+    res = _search(spark, sf_dir, q="merge", num_typos=0, facet_by=("lang",))
+    return res.facets["lang"].select(
+        "facet_value", F.col("facet_count").cast("long").alias("facet_count")
+    )
+
+
+def q_facet_stats(spark, sf_dir):
+    """Q17: numeric facet stats min/max/sum/count + quantized avg."""
+    res = _search(spark, sf_dir, q="merge", num_typos=0, facet_stats_for=("n_chars",))
+    return res.facet_stats["n_chars"]
+
+
+def q_grouped(spark, sf_dir):
+    """Q15: grouped top-k (group_by lang, 2 hits per group)."""
+    res = _search(
+        spark, sf_dir, q="merge", num_typos=0, group_by=("lang",), group_limit=2
+    )
+    return res.grouped.select(
+        "lang", "doc_id", "score_milli", F.col("group_rank").cast("long").alias("group_rank")
+    )
+
+
+def q_pagination(spark, sf_dir):
+    """Q22: page 2, per_page 5 (ranks 6..10)."""
+    return _hits(_search(spark, sf_dir, q="merge", num_typos=0, page=2, per_page=5))
+
+
+def q_wand(spark, sf_dir):
+    """Q14/M4: block-max WAND pruned OR query — must equal exhaustive."""
+    return _hits(
+        _search(
+            spark, sf_dir, q="merge window fast", num_typos=0, mode="or",
+            use_wand=True, per_page=20,
+        )
+    )
+
+
+def q_term_dictionary(spark, sf_dir):
+    """B6: term dictionary (df/cf/max_tf), top 20 by df."""
+    ix = get_index(spark, sf_dir)
+    return (
+        ix.terms.select("term", "df", "cf", "max_tf")
+        .orderBy(F.col("df").desc(), "term")
+        .limit(20)
+    )
+
+
+def q_doc_lengths(spark, sf_dir):
+    """B8: doc-attributes table (BM25 length norm input)."""
+    ix = get_index(spark, sf_dir)
+    return ix.doc_attrs.select("doc_id", "dl")
+
+
+def q_postings_roundtrip(spark, sf_dir):
+    """B6/B10: pack→unpack round-trip of compressed posting blocks."""
+    ix = get_index(spark, sf_dir)
+    return ix.decoded(["table", "merge"], ["text"]).select("term", "doc_id", "tf")
+
+
+# ------------------------------------------------- training-data ops entries
+
+
+def q_dedup_exact(spark, sf_dir):
+    from typesense_spark.ops.dedup import exact_duplicates
+
+    return exact_duplicates(_docs(spark, sf_dir), "text", min_count=1)
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    from typesense_spark.ops.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), "text", threshold_milli=20_000)
+
+
+def q_dedup_minhash(spark, sf_dir):
+    from typesense_spark.ops.dedup import lsh_candidate_pairs
+
+    return lsh_candidate_pairs(_docs(spark, sf_dir), "text", use_hash_ids=False)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    from typesense_spark.ops.dedup import simhash_fingerprints
+
+    return simhash_fingerprints(_docs(spark, sf_dir), "text", use_hash_ids=False)
+
+
+def q_embed_dup(spark, sf_dir):
+    from typesense_spark.ops.similarity import cosine_dup_pairs
+
+    return cosine_dup_pairs(_emb(spark, sf_dir), threshold_micro=500_000)
+
+
+def q_ann_topk(spark, sf_dir):
+    from typesense_spark.ops.similarity import cosine_topk
+
+    return cosine_topk(_emb(spark, sf_dir), query_ids=[0, 1, 2], k=5)
+
+
+def q_ann_ivf(spark, sf_dir):
+    from typesense_spark.ops.similarity import ivf_topk
+
+    return ivf_topk(_emb(spark, sf_dir), query_ids=[0, 1, 2], k=5)
+
+
+def q_langid(spark, sf_dir):
+    from typesense_spark.ops.textstats import language_id
+
+    return language_id(_docs(spark, sf_dir), "text")
+
+
+def q_quality(spark, sf_dir):
+    from typesense_spark.ops.textstats import quality_scores
+
+    return quality_scores(_docs(spark, sf_dir), "text")
+
+
+def q_token_counts(spark, sf_dir):
+    from typesense_spark.ops.textstats import token_counts
+
+    return token_counts(_docs(spark, sf_dir), "text")
+
+
+def q_fingerprint(spark, sf_dir):
+    from typesense_spark.ops.textstats import fingerprints
+
+    return fingerprints(_docs(spark, sf_dir), "text", use_hash_ids=False)
+
+
+def q_events_window(spark, sf_dir):
+    """Tumbling-window aggregation over the events stream table
+    (Structured-Streaming-shaped, run in batch; values cent-quantized)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # timezone-independent tumbling window: ts is TIMESTAMP_NTZ, so build
+    # the hour-truncated epoch from TZ-free date/hour fields (date_trunc /
+    # unix_timestamp would be session-TZ sensitive)
+    return (
+        ev.groupBy(
+            (
+                F.expr("unix_date(CAST(ts AS DATE))").cast("long") * 86400
+                + F.hour("ts").cast("long") * 3600
+            ).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("sum_value_cents"),
+        )
+    )
+
+
+QUERIES = {
+    "exact_term": q_exact_term,
+    "multi_and": q_multi_and,
+    "multi_or": q_multi_or,
+    "exclusion": q_exclusion,
+    "typo": q_typo,
+    "prefix": q_prefix,
+    "drop_tokens": q_drop_tokens,
+    "filter": q_filter,
+    "wildcard": q_wildcard,
+    "facet_counts": q_facet_counts,
+    "facet_stats": q_facet_stats,
+    "grouped": q_grouped,
+    "pagination": q_pagination,
+    "wand_or": q_wand,
+    "term_dictionary": q_term_dictionary,
+    "doc_lengths": q_doc_lengths,
+    "postings_roundtrip": q_postings_roundtrip,
+    "dedup_exact": q_dedup_exact,
+    "dedup_jaccard": q_dedup_jaccard,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "embed_dup": q_embed_dup,
+    "ann_topk": q_ann_topk,
+    "ann_ivf": q_ann_ivf,
+    "langid": q_langid,
+    "quality": q_quality,
+    "token_counts": q_token_counts,
+    "fingerprint": q_fingerprint,
+    "events_window": q_events_window,
+}
+
+
+def build_oracles() -> dict[str, str]:
+    from typesense_spark.ops.dedup import (
+        LSH_BAND_SIZE,
+        MINHASH_PERMS,
+        MINHASH_PRIME,
+        SIMHASH_A,
+        SIMHASH_B,
+        SIMHASH_BITS,
+    )
+    from typesense_spark.ops.textstats import FP_MOD, LANG_MARKERS, STOPWORDS
+
+    o: dict[str, str] = {}
+    o["exact_term"] = bm25_oracle(["table"])
+    o["multi_and"] = bm25_oracle(["merge", "batch", "window"])
+    o["multi_or"] = bm25_oracle(["merge", "window"], mode="or")
+    o["exclusion"] = (
+        _PRELUDE
+        + _cand_sql(["merge"], 0, False)
+        + _scored_sql(1)
+        + ", excl AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'batch')"
+        + ", scored2 AS (SELECT * FROM scored WHERE doc_id NOT IN (SELECT doc_id FROM excl))"
+        + _hits_sql().replace("FROM scored)", "FROM scored2)")
+    )
+    o["typo"] = bm25_oracle(["merg"], num_typos=2)
+    o["prefix"] = bm25_oracle(["wind"], num_typos=0, prefix_last=True)
+    # drop-tokens: full query has 0 hits (zzznope absent) → engine falls
+    # back to ['merge']; oracle is the reduced query directly
+    o["drop_tokens"] = bm25_oracle(["merge"])
+    o["filter"] = (
+        _PRELUDE
+        + _cand_sql(["merge"], 0, False)
+        + _scored_sql(1)
+        + ", scored2 AS (SELECT s.* FROM scored s JOIN documents d USING (doc_id) "
+        "WHERE d.lang = 'en' AND d.n_chars >= 200)"
+        + _hits_sql().replace("FROM scored)", "FROM scored2)")
+    )
+    o["wildcard"] = (
+        "SELECT CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id DESC) AS BIGINT) AS rank, "
+        "doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents WHERE lang = 'en' "
+        "ORDER BY n_chars DESC, doc_id DESC LIMIT 10"
+    )
+    o["facet_counts"] = (
+        _PRELUDE
+        + _cand_sql(["merge"], 0, False)
+        + _scored_sql(1)
+        + " SELECT d.lang AS facet_value, count(*) AS facet_count "
+        "FROM scored s JOIN documents d USING (doc_id) GROUP BY 1 "
+        "ORDER BY facet_count DESC, facet_value LIMIT 10"
+    )
+    o["facet_stats"] = (
+        _PRELUDE
+        + _cand_sql(["merge"], 0, False)
+        + _scored_sql(1)
+        + " SELECT CAST(min(d.n_chars) AS BIGINT) AS stat_min, "
+        "CAST(max(d.n_chars) AS BIGINT) AS stat_max, "
+        "CAST(sum(d.n_chars) AS BIGINT) AS stat_sum, "
+        "count(d.n_chars) AS stat_count, "
+        "(CAST(sum(d.n_chars) AS BIGINT) * 1000000) // count(d.n_chars) AS stat_avg_micro "
+        "FROM scored s JOIN documents d USING (doc_id)"
+    )
+    o["grouped"] = (
+        _PRELUDE
+        + _cand_sql(["merge"], 0, False)
+        + _scored_sql(1)
+        + " SELECT lang, doc_id, score_milli, CAST(rn AS BIGINT) AS group_rank FROM ("
+        "SELECT d.lang, s.doc_id, s.score_milli, row_number() OVER ("
+        "PARTITION BY d.lang ORDER BY s.score_milli DESC, s.doc_id DESC) AS rn "
+        "FROM scored s JOIN documents d USING (doc_id)) WHERE rn <= 2"
+    )
+    o["pagination"] = bm25_oracle(["merge"], per_page=5, page=2)
+    o["wand_or"] = bm25_oracle(["merge", "window", "fast"], mode="or", per_page=20)
+    o["term_dictionary"] = (
+        _PRELUDE + " SELECT term, df, cf, max_tf FROM tstat ORDER BY df DESC, term LIMIT 20"
+    )
+    o["doc_lengths"] = _PRELUDE + " SELECT doc_id, dl FROM dl"
+    o["postings_roundtrip"] = (
+        _PRELUDE + " SELECT term, doc_id, tf FROM tf WHERE term IN ('table', 'merge')"
+    )
+    o["dedup_exact"] = (
+        "SELECT md5(text) AS text_hash, count(*) AS dup_count, "
+        "min(doc_id) AS keep_doc_id FROM documents GROUP BY 1"
+    )
+    _sh = (
+        ", sh AS (SELECT DISTINCT doc_id, shingle FROM ("
+        "SELECT doc_id, term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w AS shingle, "
+        "lead(term, 2) OVER w AS t2 FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)"
+        ") WHERE t2 IS NOT NULL)"
+    )
+    o["dedup_jaccard"] = (
+        _PRELUDE
+        + _sh
+        + ", sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1)"
+        ", inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i "
+        "FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)"
+        " SELECT doc_a, doc_b, CAST(floor(1000000.0 * i / (sa.sz + sb.sz - i) + 0.5) AS BIGINT) AS jac_milli "
+        "FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b "
+        "WHERE CAST(floor(1000000.0 * i / (sa.sz + sb.sz - i) + 0.5) AS BIGINT) >= 20000"
+    )
+    perms_values = ", ".join(
+        f"({i}, {a}::BIGINT, {b}::BIGINT)" for i, (a, b) in enumerate(MINHASH_PERMS)
+    )
+    o["dedup_minhash"] = (
+        _PRELUDE
+        + _sh
+        + ", sid AS (SELECT doc_id, CAST(dense_rank() OVER (ORDER BY shingle) AS BIGINT) AS sid FROM sh)"
+        f", perms(perm_id, a, b) AS (VALUES {perms_values})"
+        f", sig AS (SELECT doc_id, perm_id, min((a * sid + b) % {MINHASH_PRIME}) AS minhash "
+        "FROM sid CROSS JOIN perms GROUP BY 1, 2)"
+        f", bands AS (SELECT doc_id, perm_id // {LSH_BAND_SIZE} AS band_id, "
+        "string_agg(format('{:d}:{:d}', perm_id, minhash), ',' ORDER BY format('{:d}:{:d}', perm_id, minhash)) AS band_key "
+        "FROM sig GROUP BY 1, 2)"
+        " SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "FROM bands a JOIN bands b USING (band_id, band_key) WHERE a.doc_id < b.doc_id"
+    )
+    o["dedup_simhash"] = (
+        _PRELUDE
+        + ", tid AS (SELECT term, CAST(dense_rank() OVER (ORDER BY term) AS BIGINT) AS tid "
+        "FROM (SELECT DISTINCT term FROM tf))"
+        f", th AS (SELECT tf.doc_id, tf.tf, ({SIMHASH_A}::BIGINT * tid.tid + {SIMHASH_B}) % {MINHASH_PRIME} AS h "
+        "FROM tf JOIN tid USING (term))"
+        f", votes AS (SELECT doc_id, bit, sum(CASE WHEN (h >> bit) & 1 = 1 THEN tf ELSE -tf END) AS v "
+        f"FROM th CROSS JOIN range(0, {SIMHASH_BITS}) AS r(bit) GROUP BY 1, 2)"
+        " SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash "
+        "FROM votes GROUP BY 1"
+    )
+    _qv = (
+        "qv AS (SELECT vec_id, i AS dim, "
+        "CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS v "
+        "FROM embeddings CROSS JOIN range(0, 64) AS r(i)), "
+        "nrm AS (SELECT vec_id, sum(v * v) AS n2 FROM qv GROUP BY 1)"
+    )
+    o["embed_dup"] = (
+        "WITH " + _qv + ", dots AS ("
+        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.v * b.v) AS dot "
+        "FROM qv a JOIN qv b USING (dim) WHERE a.vec_id < b.vec_id GROUP BY 1, 2)"
+        " SELECT vec_a, vec_b, CAST(floor(CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) * 1000000 + 0.5) AS BIGINT) AS cos_micro"
+        " FROM dots JOIN nrm na ON na.vec_id = vec_a JOIN nrm nb ON nb.vec_id = vec_b"
+        " WHERE CAST(floor(CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) * 1000000 + 0.5) AS BIGINT) >= 500000"
+    )
+    o["ann_topk"] = (
+        "WITH " + _qv + ", q AS (SELECT vec_id AS query_id, dim, v FROM qv WHERE vec_id IN (0, 1, 2)), "
+        "dots AS (SELECT q.query_id, e.vec_id, sum(q.v * e.v) AS dot "
+        "FROM q JOIN qv e USING (dim) WHERE e.vec_id <> q.query_id GROUP BY 1, 2), "
+        "cosd AS (SELECT dots.query_id, dots.vec_id, CAST(dot AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(ne.n2 AS DOUBLE))) AS cos "
+        "FROM dots JOIN nrm nq ON nq.vec_id = dots.query_id JOIN nrm ne ON ne.vec_id = dots.vec_id) "
+        "SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id AS neighbor_id, "
+        "CAST(floor(cos * 1000000 + 0.5) AS BIGINT) AS cos_micro FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn FROM cosd"
+        ") WHERE rn <= 5"
+    )
+    o["ann_ivf"] = (
+        "WITH " + _qv + ", lab AS (SELECT vec_id, label FROM embeddings), "
+        "cent AS (SELECT label, dim, sum(v) // count(*) AS cv FROM qv JOIN lab USING (vec_id) GROUP BY 1, 2), "
+        "cnrm AS (SELECT label, sum(cv * cv) AS n2 FROM cent GROUP BY 1), "
+        "q AS (SELECT vec_id AS query_id, dim, v FROM qv WHERE vec_id IN (0, 1, 2)), "
+        "qcos AS (SELECT q.query_id, c.label, CAST(sum(q.v * c.cv) AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(cn.n2 AS DOUBLE))) AS ccos "
+        "FROM q JOIN cent c USING (dim) JOIN nrm nq ON nq.vec_id = q.query_id JOIN cnrm cn ON cn.label = c.label "
+        "GROUP BY q.query_id, c.label, nq.n2, cn.n2), "
+        "best AS (SELECT query_id, label FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, label) AS rn FROM qcos) WHERE rn = 1), "
+        "dots AS (SELECT b.query_id, e.vec_id, sum(q.v * e.v) AS dot "
+        "FROM best b JOIN lab l ON l.label = b.label JOIN qv e ON e.vec_id = l.vec_id "
+        "JOIN qv q ON q.vec_id = b.query_id AND q.dim = e.dim "
+        "WHERE e.vec_id <> b.query_id GROUP BY 1, 2), "
+        "cosd AS (SELECT dots.query_id, dots.vec_id, CAST(dot AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(ne.n2 AS DOUBLE))) AS cos "
+        "FROM dots JOIN nrm nq ON nq.vec_id = dots.query_id JOIN nrm ne ON ne.vec_id = dots.vec_id) "
+        "SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id AS neighbor_id FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn FROM cosd"
+        ") WHERE rn <= 5"
+    )
+    markers_values = ", ".join(
+        f"('{lang}', '{w}')" for lang, ws in LANG_MARKERS.items() for w in ws
+    )
+    o["langid"] = (
+        _PRELUDE
+        + f", markers(cand_lang, marker) AS (VALUES {markers_values})"
+        ", votes AS (SELECT doc_id, cand_lang, count(*) AS hits "
+        "FROM tok JOIN markers ON tok.term = markers.marker GROUP BY 1, 2)"
+        ", best AS (SELECT doc_id, cand_lang, hits FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand_lang) AS rn FROM votes"
+        ") WHERE rn = 1)"
+        " SELECT d.doc_id, coalesce(b.cand_lang, 'und') AS pred_lang, "
+        "CAST(coalesce(b.hits, 0) AS BIGINT) AS marker_hits "
+        "FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id"
+    )
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    o["quality"] = (
+        _PRELUDE
+        + ", per_doc AS (SELECT doc_id, count(*) AS n_tokens, sum(length(term)) AS sum_term_len, "
+        f"sum(CASE WHEN term IN ({stop_list}) THEN 1 ELSE 0 END) AS n_stop FROM tok GROUP BY 1)"
+        ", chars AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
+        "CAST(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS BIGINT) AS n_alnum FROM documents)"
+        " SELECT doc_id, n_tokens, n_chars, "
+        "CAST(floor(1000000 * sum_term_len / n_tokens) AS BIGINT) AS avg_token_len_micro, "
+        "CAST(floor(1000000 * n_stop / n_tokens) AS BIGINT) AS stopword_ratio_micro, "
+        "CAST(floor(1000000 * n_alnum / n_chars) AS BIGINT) AS alnum_ratio_micro "
+        "FROM per_doc JOIN chars USING (doc_id)"
+    )
+    o["token_counts"] = (
+        _PRELUDE
+        + ", ws AS (SELECT doc_id, count(*) AS ws_tokens FROM tok GROUP BY 1)"
+        " SELECT doc_id, ws_tokens, "
+        "CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS BIGINT) AS bpe_tokens "
+        "FROM ws JOIN documents USING (doc_id)"
+    )
+    o["fingerprint"] = (
+        _PRELUDE
+        + ", tid AS (SELECT term, CAST(dense_rank() OVER (ORDER BY term) AS BIGINT) AS tid "
+        "FROM (SELECT DISTINCT term FROM tok))"
+        f" SELECT doc_id, sum(((pos + 1) * tid) % {FP_MOD}) % {FP_MOD} AS fingerprint "
+        "FROM tok JOIN tid USING (term) GROUP BY 1"
+    )
+    o["events_window"] = (
+        # floor() before the cast: DuckDB's epoch() keeps fractional
+        # seconds and CAST(double AS BIGINT) rounds, shifting boundary rows
+        "SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS window_start, event_type, "
+        "count(*) AS n_events, sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_value_cents "
+        "FROM events GROUP BY 1, 2"
+    )
+    return o

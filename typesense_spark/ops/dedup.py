@@ -1,0 +1,275 @@
+"""Deduplication operators for training-data pipelines.
+
+All parameters are pinned constants shared with the DuckDB oracle SQL
+in ``__spark_entry__`` — every arithmetic step is integer-exact so
+Spark and the oracle agree bit-for-bit.
+
+Scale notes (10^12-doc target):
+- exact dedup is a hash groupBy — one shuffle, AQE-coalesced;
+- shingle/minhash/simhash stages are token-level explodes + groupBys:
+  map-side partial aggregation keeps the shuffle proportional to
+  distinct (doc, shingle) pairs;
+- ``use_hash_ids=True`` (default for production) derives shingle/term
+  ids via ``xxhash64`` — fully parallel. ``use_hash_ids=False`` uses a
+  global ``dense_rank`` over distinct shingles so ids are reproducible
+  in plain SQL (the oracle-parity mode used by the correctness gate);
+  at scale the hash mode is the one to run, collisions only perturb
+  MinHash estimates negligibly;
+- LSH banding turns the O(n²) pair space into per-bucket joins; the
+  bucket join is a plain equi-join Spark shuffles on band key, with
+  AQE skew splitting if a bucket is hot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from typesense_spark.tokenizer import explode_tokens
+
+# pinned MinHash parameters (mirrored literally in the oracle SQL)
+MINHASH_PRIME = 2147483647  # 2^31 - 1
+MINHASH_PERMS: list[tuple[int, int]] = [
+    ((i * 2654435761 + 1) % MINHASH_PRIME, (i * 40503 + 7) % MINHASH_PRIME)
+    for i in range(1, 17)
+]
+LSH_BAND_SIZE = 2  # 16 perms / 2 = 8 bands
+SHINGLE_K = 3  # token 3-grams
+SIMHASH_BITS = 32
+SIMHASH_A = 1103515245
+SIMHASH_B = 12345
+
+
+def exact_duplicates(
+    docs: DataFrame, text_col: str, id_col: str = "doc_id", min_count: int = 2
+) -> DataFrame:
+    """Exact dedup: md5-hash groupBy → groups with ≥ min_count members.
+
+    Returns (text_hash, dup_count, keep_doc_id) where keep_doc_id is
+    the smallest id (the canonical survivor). ``min_count=1`` lists
+    every group (useful to verify hashing parity on dup-free corpora).
+    """
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.count("*").alias("dup_count"),
+            F.min(F.col(id_col)).alias("keep_doc_id"),
+        )
+        .where(F.col("dup_count") >= min_count)
+    )
+
+
+def token_shingles(docs: DataFrame, text_col: str, id_col: str = "doc_id", k: int = SHINGLE_K) -> DataFrame:
+    """Distinct token k-gram shingles per doc: (doc_id, shingle).
+
+    Tokenization is the engine's pinned tokenizer (JVM expressions);
+    shingle = k consecutive terms joined by a single space, built with
+    partition-local ``lead`` windows per doc.
+    """
+    tok = explode_tokens(docs.select(id_col, text_col), text_col, id_col)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    lead_names = []
+    for i in range(1, k):
+        name = f"_t{i}"
+        tok = tok.withColumn(name, F.lead("term", i).over(w))
+        lead_names.append(name)
+    return (
+        tok.where(F.col(lead_names[-1]).isNotNull())
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.concat_ws(" ", "term", *lead_names).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+    k: int = SHINGLE_K,
+    threshold_milli: int = 500_000,
+) -> DataFrame:
+    """Token-k-gram Jaccard near-dup pairs ≥ threshold.
+
+    Candidates = doc pairs sharing ≥1 shingle (the standard inverted-
+    index prefilter); |∩| from the shingle join, |∪| = |A|+|B|-|∩| —
+    all integers, so ``jac_milli = floor(1e6·|∩|/|∪| + 0.5)`` is exact.
+    """
+    sh = token_shingles(docs, text_col, id_col, k).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn(
+            "jac_milli",
+            F.floor(
+                F.lit(1_000_000.0) * F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+        .where(F.col("jac_milli") >= threshold_milli)
+        .select("doc_a", "doc_b", "jac_milli")
+    )
+
+
+def shingle_ids(shingles: DataFrame, use_hash_ids: bool = True) -> DataFrame:
+    """(doc_id, shingle) → (doc_id, sid).
+
+    Hash mode (scale): xxhash64 bounded into [0, p) — embarrassingly
+    parallel. Rank mode (oracle parity): global dense_rank by shingle
+    text — reproducible in ANSI SQL, single-partition window (gate-
+    scale only; documented trade-off).
+    """
+    if use_hash_ids:
+        return shingles.withColumn(
+            "sid", F.pmod(F.xxhash64("shingle"), F.lit(MINHASH_PRIME))
+        )
+    w = Window.orderBy("shingle")
+    return shingles.withColumn("sid", F.dense_rank().over(w).cast("long"))
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+    use_hash_ids: bool = True,
+) -> DataFrame:
+    """MinHash signatures: (doc_id, perm_id, minhash).
+
+    h_i(x) = (a_i·x + b_i) mod p over shingle ids; the perm table is a
+    16-row broadcast cross join, so the whole signature computation is
+    one explode + one groupBy (map-side combined min).
+    """
+    sh = shingle_ids(token_shingles(docs, text_col, id_col), use_hash_ids)
+    spark = docs.sparkSession
+    perms = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(MINHASH_PERMS)],
+        schema="perm_id int, a long, b long",
+    )
+    return (
+        sh.crossJoin(F.broadcast(perms))
+        .withColumn("h", (F.col("a") * F.col("sid") + F.col("b")) % F.lit(MINHASH_PRIME))
+        .groupBy("doc_id", "perm_id")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+    use_hash_ids: bool = True,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: band signatures → bucket join.
+
+    Band key is the concatenation of the band's minhashes (no extra
+    hashing — keeps the oracle exact); docs sharing any band bucket
+    become a candidate pair (doc_a < doc_b).
+    """
+    sig = minhash_signatures(docs, text_col, id_col, use_hash_ids)
+    bands = (
+        sig.withColumn("band_id", (F.col("perm_id") / F.lit(LSH_BAND_SIZE)).cast("int"))
+        .groupBy("doc_id", "band_id")
+        .agg(
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list(F.format_string("%d:%d", "perm_id", "minhash")))
+            ).alias("band_key")
+        )
+    )
+    return (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band_id", "band_key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def simhash_fingerprints(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+    use_hash_ids: bool = True,
+) -> DataFrame:
+    """SimHash (32-bit): (doc_id, simhash).
+
+    Term ids → per-bit ±tf votes → sign → packed int. Bit j of term t's
+    hash is ``((A·tid + B) mod p) >> j & 1``; all integer arithmetic,
+    mirrored in the oracle SQL.
+    """
+    tok = explode_tokens(docs.select(id_col, text_col), text_col, id_col)
+    tf = tok.groupBy(F.col(id_col).alias("doc_id"), "term").agg(F.count("*").alias("tf"))
+    if use_hash_ids:
+        tf = tf.withColumn("tid", F.pmod(F.xxhash64("term"), F.lit(MINHASH_PRIME)))
+    else:
+        terms = tf.select("term").distinct()
+        w = Window.orderBy("term")
+        tids = terms.withColumn("tid", F.dense_rank().over(w).cast("long"))
+        tf = tf.join(tids, "term")
+    spark = docs.sparkSession
+    bits = spark.createDataFrame([(j,) for j in range(SIMHASH_BITS)], schema="bit int")
+    th = tf.withColumn(
+        "h", (F.lit(SIMHASH_A) * F.col("tid") + F.lit(SIMHASH_B)) % F.lit(MINHASH_PRIME)
+    )
+    votes = (
+        th.crossJoin(F.broadcast(bits))
+        .withColumn(
+            "vote",
+            # shift amount is a column → SQL expr (F.shiftright wants a literal)
+            F.when(F.expr("(shiftright(h, bit) & 1) = 1"), F.col("tf")).otherwise(
+                -F.col("tf")
+            ),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("v"))
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    use_hash_ids: bool = True,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+
+    Gate-scale implementation is the quadratic join; the scale path is
+    the standard pigeonhole trick (split 32 bits into max_hamming+1
+    chunks, equi-join on each chunk, verify hamming) — same output.
+    """
+    fp = simhash_fingerprints(docs, text_col, id_col, use_hash_ids)
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("hamming").cast("int").alias("hamming"),
+        )
+    )

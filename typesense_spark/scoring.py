@@ -64,8 +64,10 @@ def spark_contrib_expr(tf_col, dl_col, df_col, n_docs: int, avgdl: float):
 
 def duckdb_contrib_sql(tf: str, dl: str, df: str, n_docs: str, avgdl: str) -> str:
     """The identical formula as DuckDB SQL (oracle side)."""
+    # parenthesization mirrors the numpy evaluation order in the pack
+    # UDF exactly: idf * ( (tf*(k1+1)) / (tf + k1*(1-b+b*dl/avgdl)) )
     return (
         f"CAST(floor(ln(1.0 + ({n_docs} - {df} + 0.5) / ({df} + 0.5)) * "
-        f"(({tf}) * {K1 + 1.0}) / (({tf}) + {K1} * ({1.0 - B} + {B} * ({dl}) / ({avgdl}))) "
+        f"((({tf}) * {K1 + 1.0}) / (({tf}) + {K1} * ({1.0 - B} + {B} * ({dl}) / ({avgdl})))) "
         f"* {SCALE}.0 + 0.5) AS BIGINT)"
     )

@@ -227,12 +227,19 @@ def search(index: Index, req: SearchRequest) -> SearchResult:
                 .limit(req.max_facet_values)
             )
         for col in req.facet_stats_for:
+            # integer-exact stats; avg as micro-quantized integer division
+            # so the SQL oracle matches bit-for-bit
             facet_stats[col] = mdocs.agg(
-                F.min(col).cast("double").alias("stat_min"),
-                F.max(col).cast("double").alias("stat_max"),
-                F.sum(col).cast("double").alias("stat_sum"),
-                F.avg(col).alias("stat_avg"),
+                F.min(col).cast("long").alias("stat_min"),
+                F.max(col).cast("long").alias("stat_max"),
+                F.sum(col).cast("long").alias("stat_sum"),
                 F.count(col).alias("stat_count"),
+            ).select(
+                "stat_min",
+                "stat_max",
+                "stat_sum",
+                "stat_count",
+                F.expr("stat_sum * 1000000 div stat_count").alias("stat_avg_micro"),
             )
 
     # ordering: explicit sort_by (wildcard path) else score DESC,
