@@ -1,0 +1,80 @@
+"""Proximity Match parity with the reference's OWN golden vectors
+(/root/reference/test/match_score_test.cpp) + engine integration."""
+
+from typesense_spark.search.match import (
+    highlight,
+    match_score,
+    packed_match_score,
+    proximity_rescore,
+)
+
+
+def test_reference_golden_exceed_window():
+    # 12 single-position tokens → capped at WINDOW_SIZE=10 words
+    positions = [[1]] * 12
+    words, _ = match_score(positions)
+    assert words == 10
+
+
+def test_reference_golden_v2_case1():
+    positions = [[25], [26], [11, 18, 24, 60], [14, 27, 63]]
+    assert match_score(positions) == (4, 97)
+
+
+def test_reference_golden_v2_case2():
+    positions = [
+        [38, 50, 170, 187, 195, 222],
+        [39, 140, 171, 189, 223],
+        [169, 180],
+    ]
+    assert match_score(positions) == (3, 98)
+
+
+def test_reference_golden_v2_case3():
+    positions = [[38, 50, 187, 195, 201], [120, 167, 171, 223], [240, 250]]
+    assert match_score(positions) == (1, 100)
+
+
+def test_single_token():
+    assert match_score([[7, 9]]) == (1, 100)
+
+
+def test_packed_score_layout():
+    # (words << 16) | (255 - cost) << 8 | distance  (match_score.h:49-57)
+    packed = packed_match_score([[1], [2]], total_cost=1)
+    assert packed == (2 << 16) | (254 << 8) | 99
+
+
+def test_proximity_rescore_spark(built_index):
+    from pyspark.sql import functions as F
+
+    cands = built_index.docs.select("doc_id").limit(50)
+    scored = proximity_rescore(built_index, cands, ["import", "return"], ["content"])
+    rows = scored.collect()
+    assert rows
+    for r in rows:
+        words = r["match_score"] >> 16
+        distance = r["match_score"] & 0xFF
+        assert 1 <= words <= 2
+        assert 90 <= distance <= 100
+    # spot-check one doc against the pure-Python path
+    doc = built_index.docs.where(
+        F.col("doc_id") == rows[0]["doc_id"]
+    ).collect()[0]
+    from typesense_spark.tokenizer import tokenize
+
+    plists = {"import": [], "return": []}
+    for t, p in tokenize(doc["content"]):
+        if t in plists:
+            plists[t].append(p)
+    present = [v for v in plists.values() if v]
+    assert packed_match_score(present) == rows[0]["match_score"]
+
+
+def test_highlight_marks_terms():
+    text = "alpha beta gamma delta epsilon zeta"
+    snip = highlight(text, {"gamma"})
+    assert "<mark>gamma</mark>" in snip
+    assert "alpha" in snip  # affix context
+    snip2 = highlight(text, {"nomatch"})
+    assert "<mark>" not in snip2 and snip2.startswith("alpha")

@@ -1,0 +1,80 @@
+"""Structured Streaming: incremental index appends + windowed aggs."""
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from typesense_spark.index.build import decode_postings
+from typesense_spark.streaming import incremental_index_stream, windowed_event_counts
+
+
+def test_incremental_appends_are_searchable(spark, corpus_df, built_index, tmp_path):
+    from typesense_spark.corpus import CORPUS_SCHEMA, generate_rows
+
+    out_postings = str(tmp_path / "inc_postings")
+    ckpt = str(tmp_path / "ckpt")
+    stream_src = str(tmp_path / "src")
+
+    # seed the stream source with 20 new docs (ids beyond the base 300)
+    new_rows = generate_rows(20, seed=7, start=5000)
+    base_max = built_index.docs.agg(F.max("doc_id")).collect()[0][0]
+    df = spark.createDataFrame(new_rows, schema=CORPUS_SCHEMA)
+    df = df.withColumn(
+        "doc_id",
+        (F.lit(base_max + 1) + F.row_number().over(Window.orderBy("path")) - 1).cast("long"),
+    )
+    df.write.mode("overwrite").parquet(stream_src)
+
+    stream = spark.readStream.schema(df.schema).parquet(stream_src)
+    q = incremental_index_stream(
+        built_index, stream, "content", out_postings, ckpt, block_size=32
+    )
+    q.awaitTermination(120)
+
+    appended = spark.read.parquet(out_postings)
+    decoded = decode_postings(appended.drop("term_bucket"))
+    got_ids = {r["doc_id"] for r in decoded.select("doc_id").distinct().collect()}
+    assert got_ids == set(range(base_max + 1, base_max + 21))
+    # tf content matches naive tokenization of the new docs
+    from typesense_spark.tokenizer import tokenize
+
+    want = {}
+    ordered = sorted(new_rows, key=lambda r: r[1])  # by path, as assigned
+    for off, row in enumerate(ordered):
+        for t, _p in tokenize(row[4]):
+            key = (t, base_max + 1 + off)
+            want[key] = want.get(key, 0) + 1
+    got = {
+        (r["term"], r["doc_id"]): r["tf"]
+        for r in decoded.select("term", "doc_id", "tf").collect()
+    }
+    assert got == want
+
+
+def test_windowed_counts_match_batch(spark, tmp_path):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "ev")
+    ev.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    agg = windowed_event_counts(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wincounts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value_cents"])
+        for r in spark.sql("SELECT * FROM wincounts").collect()
+    }
+    want_rows = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("s"),
+        )
+        .collect()
+    )
+    want = {(r["window_start"], r["event_type"]): (r["n"], r["s"]) for r in want_rows}
+    assert got == want

@@ -1,0 +1,61 @@
+"""Tokenizer parity: pinned spec (reference src/tokenizer.cpp:4-112)
+across the pure-Python, pandas, and Spark-SQL implementations.
+Vectors per FIXTURES.md F5 / reference test/tokenizer_test.cpp.
+"""
+
+import pandas as pd
+
+from typesense_spark.tokenizer import explode_tokens, tokenize, tokenize_pandas
+
+VECTORS = [
+    # punctuation stripped in place, not a split point
+    ("(free)", [("free", 0)]),
+    ("c++ is fun", [("c", 0), ("is", 1), ("fun", 2)]),
+    # split only on space and newline; empties consume positions
+    ("a  b", [("a", 0), ("b", 2)]),
+    ("a\nb c", [("a", 0), ("b", 1), ("c", 2)]),
+    ("tab\there", [("tabhere", 0)]),  # tab is NOT a separator
+    ("Hello WORLD", [("hello", 0), ("world", 1)]),
+    ("x9 9x _9_", [("x9", 0), ("9x", 1), ("9", 2)]),
+    ("", []),
+    ("   ", []),
+    # unicode transliteration (iconv ASCII//TRANSLIT analogue)
+    ("Löwenbräu", [("lowenbrau", 0)]),
+    ("café au lait", [("cafe", 0), ("au", 1), ("lait", 2)]),
+]
+
+
+def test_pure_python_vectors():
+    for raw, expected in VECTORS:
+        assert tokenize(raw) == expected, raw
+
+
+def test_pandas_matches_python():
+    s = pd.Series([raw for raw, _ in VECTORS])
+    out = tokenize_pandas(s)
+    for (raw, expected), got in zip(VECTORS, out):
+        assert got == expected, raw
+
+
+def test_spark_matches_python_ascii(spark):
+    ascii_vectors = [(i, raw) for i, (raw, _) in enumerate(VECTORS) if raw.isascii()]
+    df = spark.createDataFrame(ascii_vectors, schema="doc_id long, content string")
+    got = {}
+    for r in explode_tokens(df, "content").collect():
+        got.setdefault(r["doc_id"], []).append((r["term"], r["pos"]))
+    for i, raw in ascii_vectors:
+        expected = tokenize(raw)
+        assert sorted(got.get(i, [])) == sorted(expected), raw
+
+
+def test_spark_matches_python_on_corpus(spark, corpus_df):
+    df = corpus_df.limit(40).selectExpr(
+        "monotonically_increasing_id() AS doc_id", "content"
+    )
+    rows = df.collect()
+    got = {}
+    for r in explode_tokens(df, "content").collect():
+        got.setdefault(r["doc_id"], []).append((r["pos"], r["term"]))
+    for r in rows:
+        expected = sorted((p, t) for t, p in tokenize(r["content"]))
+        assert sorted(got.get(r["doc_id"], [])) == expected

@@ -85,7 +85,7 @@ def row_fields(doc_index: int, seed: int = 42) -> tuple[str, str, str, str]:
 
 def row_content(doc_index: int, seed: int = 42) -> str:
     """Deterministic content for one row (shared with the oracle)."""
-    base = np.uint64(doc_index) * np.uint64(0x5851F42D4C957F2D) + np.uint64(seed)
+    base = np.uint64((doc_index * 0x5851F42D4C957F2D + seed) & _MASK)
     n_h = int(_splitmix64(np.array([base], dtype=np.uint64))[0])
     n_tokens = MIN_TOKENS + n_h % (MAX_TOKENS - MIN_TOKENS)
     ctr = base + np.uint64(1) + np.arange(n_tokens, dtype=np.uint64)

@@ -101,32 +101,69 @@ class BuildReport:
         return self.n_postings / self.elapsed_sec if self.elapsed_sec else 0.0
 
 
+_KEY_SEP = "\x01"
+
+
 def assign_doc_ids(
     df: DataFrame, key_cols: list[str], num_partitions: int = 32
 ) -> DataFrame:
     """Deterministic dense doc_id = global rank over unique ``key_cols``.
 
-    Scalable two-phase: range-partition by key → partition-local
-    row_number → add broadcast per-partition offsets. The rank depends
-    only on the total key order, never on partition boundaries, so the
-    assignment is partition-count invariant (tested).
+    Scalable two-phase global rank with EXPLICIT range boundaries:
+    boundary keys are sampled once and fixed on the driver, so every
+    downstream action sees the same bucketing (``repartitionByRange``
+    would re-sample per action — its boundaries are not stable across
+    the counts pass and the rank pass, which produced duplicate ids).
+    The final rank depends only on the total key order, never on where
+    the boundaries fall, so the assignment is partition-count invariant
+    (tested) — boundaries affect balance, not correctness.
     """
-    ranged = df.repartitionByRange(num_partitions, *key_cols).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    counts = {r["_pid"]: r["cnt"] for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    skey = F.concat_ws(_KEY_SEP, *[F.col(c) for c in key_cols])
+    with_key = df.withColumn("_skey", skey)
+
+    sample = [r["_skey"] for r in with_key.select("_skey").sample(False, _sample_fraction(with_key), seed=42).collect()]
+    sample.sort()
+    n_bounds = max(num_partitions - 1, 0)
+    bounds: list[str] = []
+    if sample and n_bounds:
+        step = len(sample) / (n_bounds + 1)
+        bounds = sorted({sample[min(int(step * (i + 1)), len(sample) - 1)] for i in range(n_bounds)})
+
+    bucket = F.lit(0)
+    if bounds:
+        bucket = F.lit(len(bounds))  # default: last bucket
+        for i in range(len(bounds) - 1, -1, -1):
+            bucket = F.when(F.col("_skey") < F.lit(bounds[i]), F.lit(i)).otherwise(bucket)
+    bucketed = with_key.withColumn("_bkt", bucket)
+
+    counts = {
+        r["_bkt"]: r["cnt"]
+        for r in bucketed.groupBy("_bkt").agg(F.count("*").alias("cnt")).collect()
+    }
     offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    off_expr = F.element_at(
-        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]), F.col("_pid")
-    ) if offsets else F.lit(0)
-    w = Window.partitionBy("_pid").orderBy(*key_cols)
-    return (
-        ranged.withColumn("doc_id", (F.row_number().over(w) - 1 + off_expr).cast("long"))
-        .drop("_pid")
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    off_expr = (
+        F.element_at(
+            F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+            F.col("_bkt"),
+        )
+        if offsets
+        else F.lit(0)
     )
+    w = Window.partitionBy("_bkt").orderBy("_skey")
+    return (
+        bucketed.withColumn(
+            "doc_id", (F.row_number().over(w) - 1 + off_expr).cast("long")
+        )
+        .drop("_skey", "_bkt")
+    )
+
+
+def _sample_fraction(df: DataFrame, target: int = 4000) -> float:
+    n = df.count()
+    return min(1.0, target / max(n, 1))
 
 
 def _make_pack_fn(block_size: int, n_docs: int, avgdl: float, store_positions: bool):
@@ -326,6 +363,10 @@ def build_index(
     tf_all = tf_parts[0]
     for p in tf_parts[1:]:
         tf_all = tf_all.unionByName(p)
+    if persist:
+        # tf_all feeds doc_attrs, terms AND the pack pipeline — persist
+        # so tokenize + the (doc,term) shuffle run exactly once
+        tf_all = tf_all.persist()
 
     # dl per (field, doc): map-side partial agg, one shuffle
     doc_attrs = tf_all.groupBy("field", "doc_id").agg(F.sum("tf").alias("dl"))

@@ -1,0 +1,197 @@
+"""Resumable, checkpointed index build (north rule: "resumable from
+per-partition checkpoints with lineage + postings/sec metrics recorded
+per stage").
+
+The reference's analogue is its startup rebuild — the index is a pure
+function of the doc store (``/root/reference/src/collection_manager.cpp:
+153-232``); we exploit the same purity: every stage's output is a
+deterministic function of the persisted ``docs`` table, so a killed
+build can be resumed by skipping stages whose checkpoint marker exists
+— re-running a stage can only reproduce identical content.
+
+Layout under ``out_dir``:
+
+    docs/                         stage 0: corpus + assigned doc_ids
+    doc_attrs/  terms/            stage 1: dictionary + lengths
+    postings/group=G/             stage 2..: posting blocks, written in
+                                  independently-committed bucket groups
+    _checkpoints/<stage>.json     marker: lineage + rows + elapsed +
+                                  postings/sec
+    manifest.json                 final build report
+
+Scale note: groups are slices of the term-bucket space
+(``term_bucket % n_groups``), so each group's write is a
+partition-pruned subset of the (persisted) packed postings — a crashed
+1000-executor job resumes by paying only for the missing groups.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from typesense_spark.index.build import Index, build_index
+
+
+def _marker_path(out_dir: str, stage: str) -> str:
+    return os.path.join(out_dir, "_checkpoints", f"{stage}.json")
+
+
+def _has_marker(out_dir: str, stage: str) -> bool:
+    return os.path.exists(_marker_path(out_dir, stage))
+
+
+def _write_marker(out_dir: str, stage: str, payload: dict) -> None:
+    os.makedirs(os.path.join(out_dir, "_checkpoints"), exist_ok=True)
+    with open(_marker_path(out_dir, stage), "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+
+
+def checkpointed_build(
+    spark: SparkSession,
+    source_docs: DataFrame,
+    out_dir: str,
+    fields: list[str],
+    key_cols: list[str] | None = None,
+    id_col: str | None = None,
+    n_groups: int = 4,
+    resume: bool = True,
+    fail_after_group: int | None = None,
+    **build_kw,
+) -> Index:
+    """Build (or resume building) the index at ``out_dir``.
+
+    ``fail_after_group`` injects a crash after that many postings groups
+    (test hook for the kill/resume invariant). Each marker records the
+    stage lineage (config + input fingerprint) and throughput.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    lineage = {
+        "fields": fields,
+        "key_cols": key_cols,
+        "id_col": id_col,
+        "n_groups": n_groups,
+        "build_kw": {k: v for k, v in sorted(build_kw.items())},
+    }
+
+    # ---- stage 0: persist the docs table (with assigned doc_ids) ----
+    t0 = time.time()
+    if not (resume and _has_marker(out_dir, "docs")):
+        if id_col is None:
+            from typesense_spark.index.build import assign_doc_ids
+
+            with_ids = assign_doc_ids(source_docs, key_cols)
+        else:
+            with_ids = source_docs.withColumn("doc_id", F.col(id_col).cast("long"))
+        with_ids.write.mode("overwrite").parquet(os.path.join(out_dir, "docs"))
+        n_docs = spark.read.parquet(os.path.join(out_dir, "docs")).count()
+        _write_marker(
+            out_dir,
+            "docs",
+            {
+                "stage": "docs",
+                "rows": n_docs,
+                "elapsed_sec": time.time() - t0,
+                "docs_per_sec": n_docs / max(time.time() - t0, 1e-9),
+                "lineage": lineage,
+            },
+        )
+
+    # every later stage derives from the PERSISTED docs table, so a
+    # resumed run sees byte-identical input regardless of the source
+    docs = spark.read.parquet(os.path.join(out_dir, "docs"))
+    ix = build_index(spark, docs, fields=fields, id_col="doc_id", **build_kw)
+
+    # ---- stage 1: dictionary + doc attributes + stats ----
+    t1 = time.time()
+    if not (resume and _has_marker(out_dir, "dict")):
+        ix.terms.write.mode("overwrite").parquet(os.path.join(out_dir, "terms"))
+        ix.doc_attrs.write.mode("overwrite").parquet(os.path.join(out_dir, "doc_attrs"))
+        with open(os.path.join(out_dir, "stats.json"), "w") as f:
+            json.dump(
+                {
+                    "num_buckets": ix.num_buckets,
+                    "stats": {
+                        k: {"n_docs": v.n_docs, "sum_dl": v.sum_dl}
+                        for k, v in ix.stats.items()
+                    },
+                },
+                f,
+            )
+        _write_marker(
+            out_dir,
+            "dict",
+            {
+                "stage": "dict",
+                "rows": ix.terms.count(),
+                "elapsed_sec": time.time() - t1,
+                "lineage": lineage,
+            },
+        )
+
+    # ---- stage 2..: postings, in independently-committed groups ----
+    for g in range(n_groups):
+        stage = f"postings_group_{g}"
+        if resume and _has_marker(out_dir, stage):
+            continue
+        tg = time.time()
+        part = ix.postings.where(F.pmod(F.col("term_bucket"), F.lit(n_groups)) == g)
+        part.write.mode("overwrite").partitionBy("term_bucket").parquet(
+            os.path.join(out_dir, "postings", f"group={g}")
+        )
+        written = spark.read.parquet(os.path.join(out_dir, "postings", f"group={g}"))
+        n_postings = written.agg(F.sum("n_docs")).collect()[0][0] or 0
+        elapsed = time.time() - tg
+        _write_marker(
+            out_dir,
+            stage,
+            {
+                "stage": stage,
+                "group": g,
+                "blocks": written.count(),
+                "postings": int(n_postings),
+                "elapsed_sec": elapsed,
+                "postings_per_sec": int(n_postings) / max(elapsed, 1e-9),
+                "lineage": lineage,
+            },
+        )
+        if fail_after_group is not None and g >= fail_after_group:
+            raise RuntimeError(f"injected failure after group {g}")
+
+    # ---- manifest ----
+    markers = {}
+    for name in sorted(os.listdir(os.path.join(out_dir, "_checkpoints"))):
+        with open(os.path.join(out_dir, "_checkpoints", name)) as f:
+            markers[name[:-5]] = json.load(f)
+    total_postings = sum(
+        m.get("postings", 0) for m in markers.values() if m["stage"].startswith("postings")
+    )
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(
+            {"stages": markers, "total_postings": total_postings, "lineage": lineage},
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+    return load_checkpointed(spark, out_dir)
+
+
+def load_checkpointed(spark: SparkSession, out_dir: str) -> Index:
+    from typesense_spark.index.build import FieldStats
+
+    with open(os.path.join(out_dir, "stats.json")) as f:
+        meta = json.load(f)
+    return Index(
+        spark=spark,
+        docs=spark.read.parquet(os.path.join(out_dir, "docs")),
+        doc_attrs=spark.read.parquet(os.path.join(out_dir, "doc_attrs")),
+        terms=spark.read.parquet(os.path.join(out_dir, "terms")),
+        postings=spark.read.parquet(os.path.join(out_dir, "postings")).drop("group"),
+        stats={k: FieldStats(**v) for k, v in meta["stats"].items()},
+        num_buckets=meta["num_buckets"],
+        out_dir=out_dir,
+    )

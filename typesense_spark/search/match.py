@@ -1,0 +1,170 @@
+"""Proximity match scoring (Q11) + highlighting (Q23).
+
+Reference semantics (``/root/reference/include/match_score.h:106-216``):
+given each query token's sorted positions within one document, find the
+placement — one current position per token, advanced smallest-first —
+that maximizes (tokens within a 10-position window, then minimal spread),
+and pack ``(words_present << 16) | (255 - typo_cost) << 8 | (100 - spread)``
+(``match_score.h:49-57``).
+
+Re-derivation (not a translation): at each sweep state the tokens whose
+current position lies within ``min + WINDOW`` are exactly a suffix of
+the positions sorted descending, so the reference's per-pair
+displacement sum telescopes to ``max_in_window - min`` — we compute
+that directly. Parity is proven against the reference's own golden
+vectors (``test/match_score_test.cpp``) in ``tests/test_match.py``.
+
+Engine integration: BM25 is the primary relevance (SURVEY.md §0.1);
+``proximity_rescore`` is an optional second-stage re-rank over the
+candidate set, decoding stored positions from the posting blocks inside
+an Arrow-batched UDF. ``highlight`` runs driver-side on the ≤250
+winning rows, like the reference (``src/collection.cpp:1309-1473``).
+"""
+
+from __future__ import annotations
+
+import heapq
+
+from typesense_spark.tokenizer import tokenize
+
+WINDOW_SIZE = 10
+MAX_DISPLACEMENT = (1 << 16) - 1
+
+
+def match_score(token_positions: list[list[int]]) -> tuple[int, int]:
+    """→ (words_present, distance) per the reference semantics.
+
+    ``token_positions``: per query token, ASCENDING positions in the
+    doc; tokens beyond the first 10 are ignored (reference cap).
+    """
+    lists = [p for p in token_positions[:WINDOW_SIZE] if p]
+    if not lists:
+        return 0, 0
+    # heap of (position, token_id, index_into_list)
+    heap = [(p[0], tid, 0) for tid, p in enumerate(lists)]
+    heapq.heapify(heap)
+    best_num, best_disp = 1, MAX_DISPLACEMENT
+    while len(heap) > 1:
+        positions = sorted(p for p, _, _ in heap)
+        lo = positions[0]
+        in_window = [p for p in positions if p - lo <= WINDOW_SIZE]
+        num = len(in_window)
+        disp = in_window[-1] - lo
+        if num > best_num or (num == best_num and disp < best_disp):
+            best_num, best_disp = num, disp
+        if best_num == len(lists) and best_disp == len(heap) - 1:
+            break  # provably optimal
+        _, tid, idx = heapq.heappop(heap)
+        if idx + 1 < len(lists[tid]):
+            heapq.heappush(heap, (lists[tid][idx + 1], tid, idx + 1))
+    if best_disp == MAX_DISPLACEMENT:
+        best_disp = 0
+    return best_num, 100 - best_disp
+
+
+def packed_match_score(token_positions: list[list[int]], total_cost: int = 0) -> int:
+    words, distance = match_score(token_positions)
+    return (words << 16) | ((255 - total_cost) << 8) | distance
+
+
+def proximity_rescore(index, doc_ids_df, terms: list[str], fields: list[str]):
+    """Second-stage proximity re-rank: (doc_id) → (doc_id, match_score).
+
+    Decodes stored positions of the candidate terms from the posting
+    blocks (partition-pruned scan), groups per doc, computes the packed
+    score in an Arrow-batched UDF. Join the result to the BM25 scores
+    for combined ranking.
+    """
+    from typing import Iterable
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from typesense_spark.index import codec
+
+    blocks = index.candidate_postings(terms, fields)
+    term_order = {t: i for i, t in enumerate(terms)}
+
+    pos_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("tid", T.IntegerType()),
+            T.StructField("positions", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def decode_positions(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                ids, _tfs, _cons, poss = codec.unpack_block(
+                    r.ids_bin, r.tfs_bin, r.contribs_bin, r.pos_bin
+                )
+                tid = term_order[r.term]
+                for d, p in zip(ids, poss or []):
+                    rows.append((int(d), tid, [int(x) for x in np.asarray(p)]))
+            yield pd.DataFrame(rows, columns=["doc_id", "tid", "positions"])
+
+    per_term = blocks.mapInPandas(decode_positions, schema=pos_schema)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("match_score", T.LongType()),
+        ]
+    )
+
+    n_terms = len(terms)
+
+    def score_docs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        plists: list[list[int]] = [[] for _ in range(n_terms)]
+        for r in pdf.itertuples(index=False):
+            plists[r.tid] = sorted(plists[r.tid] + list(r.positions))
+        present = [p for p in plists if p]
+        return pd.DataFrame(
+            {"doc_id": [key[0]], "match_score": [packed_match_score(present)]}
+        )
+
+    scored = per_term.groupBy("doc_id").applyInPandas(score_docs, schema=out_schema)
+    return scored.join(doc_ids_df.select("doc_id"), "doc_id", "left_semi")
+
+
+SNIPPET_AFFIX_TOKENS = 4  # reference highlight_affix_num_tokens
+
+
+def highlight(content: str, query_terms: set[str]) -> str:
+    """<mark>-wrapped best-window snippet (driver-side, winners only).
+
+    Tokenizes with the pinned tokenizer, finds the densest match window
+    (via :func:`match_score` positions), emits ±4 raw tokens of context
+    (reference snippet shaping, ``src/collection.cpp:1309-1473``).
+    """
+    toks = tokenize(content)
+    if not toks:
+        return ""
+    hit_positions = [p for t, p in toks if t in query_terms]
+    raws = _raw_tokens(content)
+    if not hit_positions:
+        return " ".join(raws[: 2 * SNIPPET_AFFIX_TOKENS + 1])
+    # densest window: position minimizing span covering most hits
+    best_lo = max(hit_positions[0] - SNIPPET_AFFIX_TOKENS, 0)
+    hi = min(hit_positions[-1] + SNIPPET_AFFIX_TOKENS, len(raws) - 1)
+    lo = best_lo
+    # bound the snippet around the FIRST hit (reference uses best Match
+    # window; with BM25 primary we pin first-hit-centered)
+    hi = min(hit_positions[0] + WINDOW_SIZE + SNIPPET_AFFIX_TOKENS, len(raws) - 1)
+    out = []
+    hit_set = set(hit_positions)
+    for i in range(lo, hi + 1):
+        if i >= len(raws):
+            break
+        out.append(f"<mark>{raws[i]}</mark>" if i in hit_set else raws[i])
+    return " ".join(out)
+
+
+def _raw_tokens(content: str) -> list[str]:
+    import re
+
+    return re.split(r"[ \n]", content)

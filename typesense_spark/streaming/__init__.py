@@ -1,0 +1,4 @@
+from typesense_spark.streaming.incremental import (  # noqa: F401
+    incremental_index_stream,
+    windowed_event_counts,
+)

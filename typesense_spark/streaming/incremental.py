@@ -1,0 +1,111 @@
+"""Structured-Streaming incremental index maintenance.
+
+The reference has NO streaming (ingest is synchronous request-scoped
+batching, ``/root/reference/src/core_api.cpp:636-780``; SURVEY.md §2.4
+"Streaming: none"). This module is the Spark-native extension the
+batch engine gets for free: new documents arrive on a stream, each
+micro-batch is tokenized/packed with the SAME build code, and appended
+as new posting blocks. Query-side merge is unchanged — the engine
+already unions blocks per term (salted builds produce multiple block
+runs per term anyway), so appended batches are just more runs.
+
+Semantics note (documented trade-off): appended batches are scored
+with the corpus statistics (N, avgdl, df) FROZEN at base-build time —
+exact BM25 would require rescoring old postings as df drifts. This is
+the standard near-real-time search design (segment-style appends +
+periodic full rebuild); the periodic rebuild is `checkpointed_build`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from typesense_spark.index.build import Index
+
+
+def incremental_index_stream(
+    index: Index,
+    new_docs_stream: DataFrame,
+    content_field: str,
+    out_postings_dir: str,
+    checkpoint_dir: str,
+    block_size: int = 128,
+):
+    """readStream of new docs → appended posting blocks via foreachBatch.
+
+    ``new_docs_stream`` must carry ``doc_id`` (allocated upstream, e.g.
+    max existing id + stream offset) and the content field. Returns the
+    StreamingQuery; caller awaits/processes it.
+    """
+    from typesense_spark.index.build import (
+        POSTINGS_SCHEMA,
+        _make_pack_fn,
+        term_bucket_expr,
+    )
+    from typesense_spark.tokenizer import explode_tokens
+
+    fs = index.stats[content_field]
+    base_terms = index.terms.where(F.col("field") == content_field).select("term", "df")
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        tok = explode_tokens(batch_df, content_field).withColumn(
+            "field", F.lit(content_field)
+        )
+        tf = tok.groupBy("field", "doc_id", "term").agg(
+            F.count("*").alias("tf"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+        )
+        dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+        joined = (
+            tf.join(dl, "doc_id")
+            # FROZEN base stats: df from the base dictionary (new terms
+            # get df=1), N/avgdl from the base build
+            .join(base_terms, "term", "left")
+            .withColumn("df", F.coalesce("df", F.lit(1)))
+            .withColumn("salt", F.lit(0))
+        )
+        packed = joined.groupBy("field", "term", "salt").applyInPandas(
+            _make_pack_fn(block_size, fs.n_docs, fs.avgdl, True),
+            schema=POSTINGS_SCHEMA,
+        )
+        packed.withColumn(
+            "term_bucket", term_bucket_expr(F.col("term"), index.num_buckets)
+        ).write.mode("append").partitionBy("term_bucket").parquet(out_postings_dir)
+
+    return (
+        new_docs_stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_event_counts(
+    events_stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming tumbling-window aggregation with late-data watermark
+    (the batch twin is gate.q_events_window; same results on a bounded
+    input — tested)."""
+    # watermarks need TIMESTAMP (not NTZ); cast once up front
+    return (
+        events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+                "sum_value_cents"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value_cents",
+        )
+    )
