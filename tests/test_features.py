@@ -1,0 +1,100 @@
+"""Feature coverage: synonyms (Q2), facet-value query (Q18),
+string-array fields (B5), content_sha invariant (B3), multi-field
+search (Q12)."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from typesense_spark.index import build_index
+from typesense_spark.search import SearchRequest, search
+from typesense_spark.search.engine import facet_value_query
+
+
+def test_synonym_expands_candidates(built_index):
+    base = search(
+        built_index, SearchRequest(q="import", fields=("content",), num_typos=0)
+    )
+    syn = search(
+        built_index,
+        SearchRequest(q="import", fields=("content",), num_typos=0,
+                      synonyms={"import": ["return"]}),
+    )
+    # synonym ORs in the alternate's postings → superset of matches
+    assert syn.found >= base.found
+    base_ids = {r["doc_id"] for r in base.matched.collect()}
+    syn_ids = {r["doc_id"] for r in syn.matched.collect()}
+    assert base_ids <= syn_ids
+    # docs matching only via the synonym exist in this corpus
+    assert syn.found > base.found
+
+
+def test_facet_value_query(built_index):
+    res = search(
+        built_index, SearchRequest(q="import", fields=("content",), num_typos=0)
+    )
+    vals = facet_value_query(built_index, res.matched, "lang", "py")
+    rows = {r["facet_value"] for r in vals.collect()}
+    assert rows == {"python"}
+    # fuzzy: 'pythn' (1 typo) still matches
+    vals2 = facet_value_query(built_index, res.matched, "lang", "python")
+    assert {r["facet_value"] for r in vals2.collect()} == {"python"}
+
+
+def test_array_string_field(spark):
+    df = spark.createDataFrame(
+        [
+            (1, ["red apple", "green pear"]),
+            (2, ["blue sky"]),
+            (3, ["red wine", "red rose"]),
+        ],
+        schema="doc_id long, tags array<string>",
+    )
+    ix = build_index(spark, df, fields=["tags"], id_col="doc_id", num_buckets=4)
+    res = search(ix, SearchRequest(q="red", fields=("tags",), num_typos=0))
+    assert {r["doc_id"] for r in res.hits.collect()} == {1, 3}
+    # tf counts elements jointly (flat-stream pinned semantics)
+    from typesense_spark.index.build import decode_postings
+
+    tf = {
+        (r["term"], r["doc_id"]): r["tf"]
+        for r in decode_postings(ix.postings).collect()
+    }
+    assert tf[("red", 3)] == 2
+
+
+def test_content_sha_invariant(built_index):
+    rows = built_index.docs.select("content", "content_sha").limit(20).collect()
+    for r in rows:
+        assert r["content_sha"] == hashlib.sha256(r["content"].encode()).hexdigest()
+
+
+def test_multi_field_search(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spark engine internals", "docs guide"),
+            (2, "storage engine", "spark tuning"),
+            (3, "unrelated text", "nothing here"),
+        ],
+        schema="doc_id long, title string, body string",
+    )
+    ix = build_index(spark, df, fields=["title", "body"], id_col="doc_id", num_buckets=4)
+    res = search(ix, SearchRequest(q="spark", fields=("title", "body"), num_typos=0))
+    ids = {r["doc_id"] for r in res.hits.collect()}
+    assert ids == {1, 2}  # matched via either field
+    res2 = search(ix, SearchRequest(q="spark engine", fields=("title", "body"), num_typos=0))
+    ids2 = {r["doc_id"] for r in res2.hits.collect()}
+    assert ids2 == {1, 2}  # AND across tokens, best field per token
+
+
+def test_doc_attrs_per_field(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c", "x"), (2, "d", "y z")],
+        schema="doc_id long, f1 string, f2 string",
+    )
+    ix = build_index(spark, df, fields=["f1", "f2"], id_col="doc_id", num_buckets=2)
+    dl = {
+        (r["field"], r["doc_id"]): r["dl"] for r in ix.doc_attrs.collect()
+    }
+    assert dl == {("f1", 1): 3, ("f1", 2): 1, ("f2", 1): 1, ("f2", 2): 2}
+    assert ix.stats["f1"].n_docs == 2 and ix.stats["f2"].sum_dl == 3

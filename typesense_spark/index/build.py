@@ -43,7 +43,7 @@ from pyspark.sql import types as T
 
 from typesense_spark import scoring
 from typesense_spark.index import codec
-from typesense_spark.tokenizer import explode_tokens
+
 
 POSTINGS_SCHEMA = T.StructType(
     [
@@ -166,53 +166,241 @@ def _sample_fraction(df: DataFrame, target: int = 4000) -> float:
     return min(1.0, target / max(n, 1))
 
 
-def _make_pack_fn(block_size: int, n_docs: int, avgdl: float, store_positions: bool):
-    k1, b, scale = scoring.K1, scoring.B, scoring.SCALE
+TF_SCHEMA = T.StructType(
+    [
+        T.StructField("field", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("term", T.StringType()),
+        T.StructField("tf", T.LongType()),
+        T.StructField("dl", T.LongType()),
+        T.StructField("pos_bin", T.BinaryType()),  # varint [count, first, deltas…]
+    ]
+)
 
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id")
-        fld = pdf["field"].iloc[0]
-        term = pdf["term"].iloc[0]
-        salt = int(pdf["salt"].iloc[0])
-        doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-        tfs = pdf["tf"].to_numpy(dtype=np.int64)
-        dls = pdf["dl"].to_numpy(dtype=np.int64)
-        dfv = int(pdf["df"].iloc[0])
-        # pinned BM25 contribution, quantized (see scoring.py) — numpy
-        # double ops == glibc libm == the DuckDB oracle
-        idf = math.log(1.0 + (n_docs - dfv + 0.5) / (dfv + 0.5))
-        tfn = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
-        contribs = np.floor(idf * tfn * scale + 0.5).astype(np.int64)
-        positions = pdf["positions"].tolist() if store_positions else None
-        rows = []
-        for blk, start in enumerate(range(0, len(doc_ids), block_size)):
-            sl = slice(start, start + block_size)
-            ids_b, tfs_b, con_b, pos_b = codec.pack_block(
-                doc_ids[sl],
-                tfs[sl],
-                contribs[sl],
-                [np.asarray(p, dtype=np.uint64) for p in positions[sl]]
-                if positions is not None
-                else None,
-            )
-            rows.append(
-                (
-                    fld,
-                    term,
-                    salt,
-                    blk,
-                    int(doc_ids[sl].size),
-                    int(doc_ids[sl][0]),
-                    int(doc_ids[sl][-1]),
-                    int(tfs[sl].max()),
-                    int(contribs[sl].max()),
-                    ids_b,
-                    tfs_b,
-                    con_b,
-                    pos_b,
+
+def tokenize_mapper(fld: str, store_positions: bool):
+    """Map-side tokenize + per-doc term grouping + position packing.
+
+    The scale-critical design choice of the whole build: tokenization,
+    (doc, term) grouping, tf, dl, AND position delta+varint packing all
+    happen in ONE Arrow-batched pass over the corpus scan — NO doc-level
+    shuffle exists anywhere. The only wide shuffle in the build is the
+    final repartition-by-(term, salt) of compact rows whose positions
+    are already bytes. (The earlier explode → groupBy(doc, term) →
+    collect_list design shipped ~1 wide row per token occurrence
+    through two shuffles; it was shuffle-I/O-bound and did not scale
+    8→32 cores.) Uses the pinned Python tokenizer, so unicode folding
+    is identical to the oracle by construction.
+    """
+    from typesense_spark.tokenizer import tokenize
+
+    def gen(batches):
+        for pdf in batches:
+            doc_ids: list[int] = []
+            terms: list[str] = []
+            tfs: list[int] = []
+            dls: list[int] = []
+            flat_vals: list[int] = []
+            counts: list[int] = []
+            for doc_id, content in zip(pdf["doc_id"], pdf[fld]):
+                toks = tokenize(content or "")
+                dl = len(toks)
+                if dl == 0:
+                    continue
+                per: dict[str, list[int]] = {}
+                for t, p in toks:
+                    per.setdefault(t, []).append(p)
+                for t, ps in per.items():
+                    doc_ids.append(int(doc_id))
+                    terms.append(t)
+                    tfs.append(len(ps))
+                    dls.append(dl)
+                    if store_positions:
+                        counts.append(len(ps) + 1)
+                        flat_vals.append(len(ps))
+                        flat_vals.append(ps[0])
+                        for a, b in zip(ps, ps[1:]):
+                            flat_vals.append(b - a)
+            if store_positions and terms:
+                pos_bins = codec.varint_encode_split(
+                    np.asarray(flat_vals, dtype=np.uint64),
+                    np.asarray(counts, dtype=np.int64),
                 )
+            else:
+                pos_bins = [b""] * len(terms)
+            yield pd.DataFrame(
+                {
+                    "field": fld,
+                    "doc_id": pd.array(doc_ids, dtype="int64"),
+                    "term": terms,
+                    "tf": pd.array(tfs, dtype="int64"),
+                    "dl": pd.array(dls, dtype="int64"),
+                    "pos_bin": pos_bins,
+                }
             )
-        return pd.DataFrame(rows, columns=[f.name for f in POSTINGS_SCHEMA.fields])
+
+    return gen
+
+
+def _pack_chunk(
+    pdf: pd.DataFrame,
+    block_size: int,
+    n_docs: int,
+    avgdl: float,
+    store_positions: bool,
+) -> pd.DataFrame:
+    """Pack a chunk of rows sorted by (term, salt, doc_id) that contains
+    only COMPLETE (term, salt) groups — fully vectorized across every
+    group and block in the chunk (one delta pass + one varint encode per
+    stream for the whole chunk, sliced per block)."""
+    k1, b, scale = scoring.K1, scoring.B, scoring.SCALE
+    doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+    tfs = pdf["tf"].to_numpy(dtype=np.int64)
+    dls = pdf["dl"].to_numpy(dtype=np.int64)
+    dfs = pdf["df"].to_numpy(dtype=np.int64)
+    terms = pdf["term"].to_numpy()
+    salts = pdf["salt"].to_numpy(dtype=np.int64)
+    n = doc_ids.size
+
+    # pinned BM25 contribution, quantized (see scoring.py) — numpy
+    # double ops == glibc libm == the DuckDB oracle
+    idf = np.log(1.0 + (n_docs - dfs + 0.5) / (dfs + 0.5))
+    tfn = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+    contribs = np.floor(idf * tfn * scale + 0.5).astype(np.int64)
+
+    # group boundaries (term or salt change), block boundaries within
+    grp_change = np.empty(n, dtype=bool)
+    grp_change[0] = True
+    grp_change[1:] = (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
+    grp_start_of = np.maximum.accumulate(np.where(grp_change, np.arange(n), 0))
+    pos_in_grp = np.arange(n) - grp_start_of
+    is_start = grp_change | (pos_in_grp % block_size == 0)
+    starts = np.flatnonzero(is_start)
+    ends = np.append(starts[1:], n)
+    sizes = ends - starts
+
+    u = doc_ids.astype(np.uint64)
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[0] = u[0]
+    deltas[1:] = u[1:] - u[:-1] - np.uint64(1)
+    deltas[starts] = u[starts]  # each block restarts with a raw id
+    ids_bins = codec.varint_encode_split(deltas, sizes)
+    tfs_bins = codec.varint_encode_split(tfs.astype(np.uint64), sizes)
+    con_bins = codec.varint_encode_split(contribs.astype(np.uint64), sizes)
+    if store_positions:
+        pos_vals = pdf["pos_bin"].tolist()
+        # per-doc position streams are self-delimited varint records →
+        # block stream = concatenation in doc order
+        pos_bins = [b"".join(pos_vals[a:e]) for a, e in zip(starts, ends)]
+    else:
+        pos_bins = [b""] * starts.size
+
+    return pd.DataFrame(
+        {
+            "field": pdf["field"].to_numpy()[starts],
+            "term": terms[starts],
+            "salt": pd.array(salts[starts], dtype="int32"),
+            "block_id": pd.array(pos_in_grp[starts] // block_size, dtype="int32"),
+            "n_docs": pd.array(sizes, dtype="int32"),
+            "min_doc_id": pd.array(doc_ids[starts], dtype="int64"),
+            "max_doc_id": pd.array(doc_ids[ends - 1], dtype="int64"),
+            "max_tf": pd.array(np.maximum.reduceat(tfs, starts), dtype="int64"),
+            "max_contrib": pd.array(np.maximum.reduceat(contribs, starts), dtype="int64"),
+            "ids_bin": ids_bins,
+            "tfs_bin": tfs_bins,
+            "contribs_bin": con_bins,
+            "pos_bin": pos_bins,
+        }
+    )
+
+
+def pack_pipeline(
+    spark: SparkSession,
+    tf_all: DataFrame,
+    terms: DataFrame,
+    stats: "dict[str, FieldStats]",
+    fields: list[str],
+    num_buckets: int,
+    block_size: int,
+    salt_threshold: int,
+    n_salts: int,
+    store_positions: bool,
+) -> DataFrame:
+    """tf rows + term dictionary → packed posting blocks.
+
+    ONE wide shuffle: hash by (term, salt), sort groups + doc order
+    within partitions, stream-pack (see _make_pack_fn). Factored out so
+    the checkpointed build can replay it per bucket group against the
+    on-disk dictionary without recomputing stats.
+    """
+    n_pack = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    packed_parts = []
+    for fld in fields:
+        fs = stats[fld]
+        tf_f = tf_all.where(F.col("field") == fld)
+        # dl already on the row — only the per-term df joins in
+        # (broadcast when small; key matches the pack shuffle key)
+        enriched = tf_f.join(
+            terms.where(F.col("field") == fld).select("term", "df"), "term"
+        )
+        # hot-term salting: bound any single pack-group's size
+        enriched = enriched.withColumn(
+            "salt",
+            F.when(
+                F.col("df") > salt_threshold,
+                F.pmod(F.col("doc_id"), F.lit(n_salts)).cast("int"),
+            ).otherwise(F.lit(0)),
+        )
+        packed = (
+            enriched.repartition(n_pack, "term", "salt")
+            .sortWithinPartitions("term", "salt", "doc_id")
+            .mapInPandas(
+                _make_pack_fn(block_size, fs.n_docs, fs.avgdl, store_positions),
+                schema=POSTINGS_SCHEMA,
+            )
+        )
+        packed_parts.append(packed)
+    postings = packed_parts[0]
+    for p in packed_parts[1:]:
+        postings = postings.unionByName(p)
+    # term_bucket rides as a COLUMN; files keep term-sorted row groups,
+    # so parquet min/max stats prune scans on term and bucket filters
+    return postings.withColumn(
+        "term_bucket", term_bucket_expr(F.col("term"), num_buckets).cast("int")
+    )
+
+
+def _make_pack_fn(block_size: int, n_docs: int, avgdl: float, store_positions: bool):
+    """Streaming per-partition packer for mapInPandas over rows sorted by
+    (term, salt, doc_id) within the partition.
+
+    Carries the trailing INCOMPLETE group of each Arrow batch into the
+    next one, so chunks handed to ``_pack_chunk`` always hold whole
+    groups. This replaces per-group ``applyInPandas`` — whose ~5-8 ms
+    fixed cost per group dominated the build (547 core-s at 64k groups)
+    — with a per-batch fixed cost amortized over ~10k rows.
+    """
+
+    def pack(batches: Iterable[pd.DataFrame]):
+        pending: pd.DataFrame | None = None
+        for pdf in batches:
+            if pending is not None and len(pending):
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            terms = pdf["term"].to_numpy()
+            salts = pdf["salt"].to_numpy()
+            last_t, last_s = terms[-1], salts[-1]
+            tail = (terms == last_t) & (salts == last_s)
+            # trailing run of the final group (sorted ⇒ contiguous)
+            cut = len(pdf) - int(tail[::-1].argmin()) if not tail.all() else 0
+            complete, pending = pdf.iloc[:cut], pdf.iloc[cut:]
+            if len(complete):
+                yield _pack_chunk(complete, block_size, n_docs, avgdl, store_positions)
+        if pending is not None and len(pending):
+            yield _pack_chunk(
+                pending.reset_index(drop=True), block_size, n_docs, avgdl, store_positions
+            )
 
     return pack
 
@@ -279,7 +467,8 @@ class Index:
         return self.terms.where(F.col("field").isin(fields))
 
     def save(self, out_dir: str) -> None:
-        self.postings.write.mode("overwrite").partitionBy("term_bucket").parquet(
+        # plain parquet, term-sorted row groups → min/max pruning on term
+        self.postings.write.mode("overwrite").parquet(
             os.path.join(out_dir, "postings")
         )
         self.terms.write.mode("overwrite").parquet(os.path.join(out_dir, "terms"))
@@ -333,6 +522,7 @@ def build_index(
     n_salts: int = 8,
     store_positions: bool = True,
     persist: bool = True,
+    bucket_group: tuple[int, int] | None = None,
 ) -> Index:
     """Build the inverted index over ``fields`` of ``docs``.
 
@@ -351,27 +541,57 @@ def build_index(
         docs = docs.withColumn("doc_id", F.col(id_col).cast("long"))
     docs = docs.withColumn("doc_id", F.col("doc_id").cast("long"))
 
-    tf_parts, attr_parts, term_parts = [], [], []
+    # B5: string-array fields are pre-joined to one token stream
+    # (pinned deviation from the reference's per-element sentinel
+    # encoding, src/index.cpp:558-606 — phrase-within-element queries
+    # are out of scope, so the flat stream is semantically equivalent)
+    schema_types = dict(docs.dtypes)
     for fld in fields:
-        tok = explode_tokens(docs, fld).withColumn("field", F.lit(fld))
-        # (doc_id, term) → tf + ordered positions   [shuffle 1]
-        tf_df = tok.groupBy("field", "doc_id", "term").agg(
-            F.count("*").alias("tf"),
-            F.sort_array(F.collect_list("pos")).alias("positions"),
-        )
-        tf_parts.append(tf_df)
-    tf_all = tf_parts[0]
-    for p in tf_parts[1:]:
-        tf_all = tf_all.unionByName(p)
-    if persist:
-        # tf_all feeds doc_attrs, terms AND the pack pipeline — persist
-        # so tokenize + the (doc,term) shuffle run exactly once
-        tf_all = tf_all.persist()
+        if schema_types.get(fld, "").startswith("array"):
+            docs = docs.withColumn(fld, F.array_join(F.col(fld), " "))
 
-    # dl per (field, doc): map-side partial agg, one shuffle
-    doc_attrs = tf_all.groupBy("field", "doc_id").agg(F.sum("tf").alias("dl"))
-    # term dictionary: df/cf/max_tf                 [shuffle]
-    terms = tf_all.groupBy("field", "term").agg(
+    # B3: per-row content invariant vs the source (input_hint:
+    # "content sha256 equality"), carried on the docs table
+    if "content" in docs.columns and "content_sha" not in docs.columns:
+        docs = docs.withColumn("content_sha", F.sha2(F.col("content"), 256))
+
+    if persist:
+        # docs feed both tokenize passes + query-time joins
+        docs = docs.persist()
+
+    def _tf(with_positions: bool) -> DataFrame:
+        parts = [
+            docs.select("doc_id", fld).mapInPandas(
+                tokenize_mapper(fld, with_positions), schema=TF_SCHEMA
+            )
+            for fld in fields
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # Two tokenize passes instead of caching the (huge) tf relation:
+    # the map-side tokenizer is cheap and embarrassingly parallel,
+    # while caching tens of millions of tf rows thrashed the heap and
+    # made the build ANTI-scale with cores. Recompute > cache here.
+    tf_light = _tf(False)  # dictionary/stats pass (no position bytes)
+    if persist:
+        # narrow rows, shared by stats + terms + doc_attrs actions
+        tf_light = tf_light.persist()
+    tf_all = _tf(store_positions)  # pack pass
+    if bucket_group is not None:
+        # checkpoint-group slice, applied MAP-SIDE before the pack
+        # shuffle so total shuffle volume across groups stays 1x
+        n_groups, g = bucket_group
+        tf_all = tf_all.where(
+            F.pmod(term_bucket_expr(F.col("term"), num_buckets), F.lit(n_groups)) == g
+        )
+
+    # dl rides on every tf row (map-side) → doc_attrs is a narrow agg
+    doc_attrs = tf_light.groupBy("field", "doc_id").agg(F.max("dl").alias("dl"))
+    # term dictionary: df/cf/max_tf — narrow agg with map-side combine
+    terms = tf_light.groupBy("field", "term").agg(
         F.count("*").alias("df"),
         F.sum("tf").alias("cf"),
         F.max("tf").alias("max_tf"),
@@ -382,51 +602,41 @@ def build_index(
 
     # corpus stats (exact longs → avgdl division pinned in Python,
     # mirrored exactly by the DuckDB oracle)
+    t_stats = time.time()
     stats: dict[str, FieldStats] = {}
     for r in doc_attrs.groupBy("field").agg(
         F.count("*").alias("n"), F.sum("dl").alias("s")
     ).collect():
         stats[r["field"]] = FieldStats(n_docs=int(r["n"]), sum_dl=int(r["s"]))
+    report.stages["tokenize_stats_sec"] = round(time.time() - t_stats, 3)
 
-    packed_parts = []
-    for fld in fields:
-        fs = stats[fld]
-        tf_f = tf_all.where(F.col("field") == fld)
-        enriched = (
-            tf_f.join(doc_attrs.where(F.col("field") == fld).select("doc_id", "dl"), "doc_id")
-            .join(terms.where(F.col("field") == fld).select("term", "df"), "term")
-        )
-        # hot-term salting: bound any single pack-group's size
-        enriched = enriched.withColumn(
-            "salt",
-            F.when(
-                F.col("df") > salt_threshold,
-                F.pmod(F.col("doc_id"), F.lit(n_salts)).cast("int"),
-            ).otherwise(F.lit(0)),
-        )
-        packed = enriched.groupBy("field", "term", "salt").applyInPandas(
-            _make_pack_fn(block_size, fs.n_docs, fs.avgdl, store_positions),
-            schema=POSTINGS_SCHEMA,
-        )
-        packed_parts.append(packed)
-    postings = packed_parts[0]
-    for p in packed_parts[1:]:
-        postings = postings.unionByName(p)
-    postings = postings.withColumn("term_bucket", term_bucket_expr(F.col("term"), num_buckets))
+    postings = pack_pipeline(
+        spark,
+        tf_all,
+        terms,
+        stats,
+        fields,
+        num_buckets=num_buckets,
+        block_size=block_size,
+        salt_threshold=salt_threshold,
+        n_salts=n_salts,
+        store_positions=store_positions,
+    )
 
+    report.n_docs = max((s.n_docs for s in stats.values()), default=0)
     if persist:
         docs = docs.persist()
+        t_pack = time.time()
         postings = postings.persist()
+        # exactly ONE materializing action for the pack pipeline;
+        # term/doc counts are free by-products of stats / lazy tables
         report.n_postings = int(
             postings.agg(F.sum("n_docs")).collect()[0][0] or 0
         )
-        report.n_terms = terms.count()
-        report.n_docs = docs.count()
-    else:
-        report.n_docs = max((s.n_docs for s in stats.values()), default=0)
+        report.stages["pack_sec"] = round(time.time() - t_pack, 3)
     report.elapsed_sec = time.time() - t0
 
-    return Index(
+    ix = Index(
         spark=spark,
         docs=docs,
         doc_attrs=doc_attrs,
@@ -436,3 +646,5 @@ def build_index(
         num_buckets=num_buckets,
         report=report,
     )
+    ix._tf_light = tf_light  # handle for callers that unpersist mid-job
+    return ix

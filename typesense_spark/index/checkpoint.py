@@ -104,7 +104,9 @@ def checkpointed_build(
     # every later stage derives from the PERSISTED docs table, so a
     # resumed run sees byte-identical input regardless of the source
     docs = spark.read.parquet(os.path.join(out_dir, "docs"))
-    ix = build_index(spark, docs, fields=fields, id_col="doc_id", **build_kw)
+    ix = build_index(
+        spark, docs, fields=fields, id_col="doc_id", persist=False, **build_kw
+    )
 
     # ---- stage 1: dictionary + doc attributes + stats ----
     t1 = time.time()
@@ -134,13 +136,45 @@ def checkpointed_build(
         )
 
     # ---- stage 2..: postings, in independently-committed groups ----
+    # each group re-runs only: map-side tokenize (cheap) filtered to its
+    # bucket slice BEFORE the shuffle + its slice of the pack shuffle,
+    # joined against the ON-DISK dictionary — total shuffle volume
+    # across all groups stays 1x, and every group commit is independent
+    from typesense_spark.index.build import TF_SCHEMA, pack_pipeline, tokenize_mapper, term_bucket_expr
+
+    terms_disk = spark.read.parquet(os.path.join(out_dir, "terms"))
+    num_buckets = ix.num_buckets
     for g in range(n_groups):
         stage = f"postings_group_{g}"
         if resume and _has_marker(out_dir, stage):
             continue
         tg = time.time()
-        part = ix.postings.where(F.pmod(F.col("term_bucket"), F.lit(n_groups)) == g)
-        part.write.mode("overwrite").partitionBy("term_bucket").parquet(
+        tf_parts = [
+            docs.select("doc_id", fld).mapInPandas(
+                tokenize_mapper(fld, build_kw.get("store_positions", True)),
+                schema=TF_SCHEMA,
+            )
+            for fld in fields
+        ]
+        tf_g = tf_parts[0]
+        for p in tf_parts[1:]:
+            tf_g = tf_g.unionByName(p)
+        tf_g = tf_g.where(
+            F.pmod(term_bucket_expr(F.col("term"), num_buckets), F.lit(n_groups)) == g
+        )
+        part = pack_pipeline(
+            spark,
+            tf_g,
+            terms_disk,
+            ix.stats,
+            fields,
+            num_buckets=num_buckets,
+            block_size=build_kw.get("block_size", 128),
+            salt_threshold=build_kw.get("salt_threshold", 100_000),
+            n_salts=build_kw.get("n_salts", 8),
+            store_positions=build_kw.get("store_positions", True),
+        )
+        part.write.mode("overwrite").parquet(
             os.path.join(out_dir, "postings", f"group={g}")
         )
         written = spark.read.parquet(os.path.join(out_dir, "postings", f"group={g}"))

@@ -80,6 +80,38 @@ def varint_decode(buf: bytes, count: int | None = None) -> np.ndarray:
     return vals
 
 
+def _varint_sizes(v: np.ndarray) -> np.ndarray:
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    while True:
+        active = tmp > 0
+        if not active.any():
+            break
+        nbits[active] += 1
+        tmp >>= np.uint64(7)
+    return np.maximum(nbits, 1)
+
+
+def varint_encode_split(values: np.ndarray, row_value_counts: np.ndarray) -> list[bytes]:
+    """Encode one flat value stream, then slice it into per-row byte
+    strings (one numpy encode for a whole Arrow batch instead of one
+    per row — the map-side position packer's hot path)."""
+    v = np.asarray(values, dtype=np.uint64)
+    counts = np.asarray(row_value_counts, dtype=np.int64)
+    if v.size == 0:
+        return [b""] * counts.size
+    buf = varint_encode(v)
+    byte_ends = np.cumsum(_varint_sizes(v))
+    value_ends = np.cumsum(counts)
+    out: list[bytes] = []
+    prev_b = 0
+    for ve in value_ends:
+        be = int(byte_ends[ve - 1]) if ve > 0 else 0
+        out.append(buf[prev_b:be])
+        prev_b = be
+    return out
+
+
 def delta_encode(sorted_ids: np.ndarray) -> np.ndarray:
     """Strictly-ascending ids → [first, gap-1, gap-1, ...] (uint64)."""
     ids = np.asarray(sorted_ids, dtype=np.uint64)

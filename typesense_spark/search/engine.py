@@ -60,6 +60,11 @@ class SearchRequest:
     sort_by: tuple[tuple[str, str], ...] = ()  # [(col, 'asc'|'desc')]; wildcard
     include_fields: tuple[str, ...] = ()
     use_wand: bool = False
+    # Q2 single-token synonyms: {token: [alternates]} — alternates join
+    # the token's candidate set at cost 0 (reference re-searches variant
+    # token vectors and merges topsters, src/collection.cpp:1929-2064;
+    # multi-token synonym windows are out of scope v1)
+    synonyms: dict = dc_field(default_factory=dict)
 
 
 @dataclass
@@ -162,6 +167,33 @@ def _apply_excludes(
     return scored.join(ex_docs, "doc_id", "left_anti")
 
 
+def facet_value_query(
+    index: Index,
+    matched: DataFrame,
+    facet_col: str,
+    fquery: str,
+    num_typos: int = 1,
+    max_values: int = 10,
+) -> DataFrame:
+    """Q18 facet-value autocomplete: count facet values over the matched
+    set, keeping only values whose tokens prefix- or fuzzy-match the
+    facet query (reference src/index.cpp:672-713, cost 0/1 against the
+    shadow facet trie — here a plain scan of the distinct values)."""
+    fq = fquery.lower()
+    vals = (
+        matched.join(index.docs, "doc_id")
+        .groupBy(F.col(facet_col).alias("facet_value"))
+        .agg(F.count("*").alias("facet_count"))
+    )
+    m = F.lower(F.col("facet_value"))
+    cond = m.startswith(fq) | (F.levenshtein(m, F.lit(fq)) <= num_typos)
+    return (
+        vals.where(cond)
+        .orderBy(F.col("facet_count").desc(), F.col("facet_value"))
+        .limit(max_values)
+    )
+
+
 def search(index: Index, req: SearchRequest) -> SearchResult:
     tokens, excludes = parse_query(req.q)
     docs = index.docs
@@ -185,6 +217,10 @@ def search(index: Index, req: SearchRequest) -> SearchResult:
         attempts = []
         for attempt in plan:
             cand = expand_query(attempt, term_df, req.num_typos, req.prefix_last)
+            for tok, alts in (req.synonyms or {}).items():
+                if tok in cand:
+                    extra = [(a, 0) for a in alts if a in term_df]
+                    cand[tok] = sorted(dict(cand[tok] + extra).items())
             scored = _score_tokens(
                 index, attempt, cand, req.fields, req.mode, req.use_wand
             )

@@ -40,10 +40,11 @@ def incremental_index_stream(
     """
     from typesense_spark.index.build import (
         POSTINGS_SCHEMA,
+        TF_SCHEMA,
         _make_pack_fn,
         term_bucket_expr,
+        tokenize_mapper,
     )
-    from typesense_spark.tokenizer import explode_tokens
 
     fs = index.stats[content_field]
     base_terms = index.terms.where(F.col("field") == content_field).select("term", "df")
@@ -51,25 +52,23 @@ def incremental_index_stream(
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        tok = explode_tokens(batch_df, content_field).withColumn(
-            "field", F.lit(content_field)
+        tf = batch_df.select("doc_id", content_field).mapInPandas(
+            tokenize_mapper(content_field, True), schema=TF_SCHEMA
         )
-        tf = tok.groupBy("field", "doc_id", "term").agg(
-            F.count("*").alias("tf"),
-            F.sort_array(F.collect_list("pos")).alias("positions"),
-        )
-        dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
         joined = (
-            tf.join(dl, "doc_id")
             # FROZEN base stats: df from the base dictionary (new terms
             # get df=1), N/avgdl from the base build
-            .join(base_terms, "term", "left")
+            tf.join(base_terms, "term", "left")
             .withColumn("df", F.coalesce("df", F.lit(1)))
             .withColumn("salt", F.lit(0))
         )
-        packed = joined.groupBy("field", "term", "salt").applyInPandas(
-            _make_pack_fn(block_size, fs.n_docs, fs.avgdl, True),
-            schema=POSTINGS_SCHEMA,
+        packed = (
+            joined.repartition("term", "salt")
+            .sortWithinPartitions("term", "salt", "doc_id")
+            .mapInPandas(
+                _make_pack_fn(block_size, fs.n_docs, fs.avgdl, True),
+                schema=POSTINGS_SCHEMA,
+            )
         )
         packed.withColumn(
             "term_bucket", term_bucket_expr(F.col("term"), index.num_buckets)
