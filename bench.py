@@ -114,13 +114,15 @@ def build_run(master: str) -> None:
         spark.stop()
 
 
-def _spawn_build(master: str) -> dict:
-    out = subprocess.run(
-        [sys.executable, __file__, "--build-run", master],
-        capture_output=True,
-        text=True,
-        timeout=900,
-    )
+def _spawn_build(master: str, cores: int) -> dict:
+    """Run one build in a fresh subprocess PINNED to exactly ``cores``
+    CPUs (taskset) — in local mode Python workers otherwise spill onto
+    idle cores, silently inflating low-N throughput and corrupting the
+    N-vs-4N comparison."""
+    cmd = [sys.executable, __file__, "--build-run", master]
+    if os.path.exists("/usr/bin/taskset") or os.path.exists("/bin/taskset"):
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=900)
     line = out.stdout.strip().splitlines()[-1]
     return json.loads(line)
 
@@ -156,7 +158,7 @@ def main() -> None:
     levels = [2, 8, 32]
     best: dict[int, dict] = {}
     for cores in levels:
-        runs = [_spawn_build(f"local[{cores}]") for _ in range(TRIALS)]
+        runs = [_spawn_build(f"local[{cores}]", cores) for _ in range(TRIALS)]
         best[cores] = min(runs, key=lambda r: r["elapsed_sec"])
 
     def eff(lo: int, hi: int) -> float:

@@ -98,3 +98,26 @@ def test_doc_attrs_per_field(spark):
     }
     assert dl == {("f1", 1): 3, ("f1", 2): 1, ("f2", 1): 1, ("f2", 2): 2}
     assert ix.stats["f1"].n_docs == 2 and ix.stats["f2"].sum_dl == 3
+
+
+def test_curation_pinned_and_hidden(built_index):
+    base = search(
+        built_index, SearchRequest(q="import", fields=("content",), num_typos=0, per_page=10)
+    )
+    base_ids = [r["doc_id"] for r in base.hits.collect()]
+    # pin a doc that is NOT organically in the top-10 to position 2,
+    # hide the organic #1
+    all_ids = {r["doc_id"] for r in built_index.docs.select("doc_id").collect()}
+    outsider = max(all_ids - set(base_ids))
+    res = search(
+        built_index,
+        SearchRequest(q="import", fields=("content",), num_typos=0, per_page=10,
+                      pinned={outsider: 2}, hidden=(base_ids[0],)),
+    )
+    got = [(r["rank"], r["doc_id"]) for r in res.hits.orderBy("rank").collect()]
+    assert got[1] == (2, outsider)
+    assert base_ids[0] not in [d for _, d in got]
+    # remaining organic order preserved around the pin
+    organic_rest = [d for d in base_ids[1:] if d != outsider]
+    spliced = [d for _, d in got if d != outsider]
+    assert spliced == organic_rest[: len(spliced)]

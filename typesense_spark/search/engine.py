@@ -65,6 +65,11 @@ class SearchRequest:
     # token vectors and merges topsters, src/collection.cpp:1929-2064;
     # multi-token synonym windows are out of scope v1)
     synonyms: dict = dc_field(default_factory=dict)
+    # Q20 curation: pinned {doc_id: 1-based position} force-included at
+    # fixed positions; hidden doc_ids excluded (reference overrides,
+    # src/collection.cpp:427-493, splice src/collection.cpp:897-922)
+    pinned: dict = dc_field(default_factory=dict)
+    hidden: tuple = ()
 
 
 @dataclass
@@ -249,6 +254,10 @@ def search(index: Index, req: SearchRequest) -> SearchResult:
         keep = docs.where(req.filter_expr).select("doc_id")
         matched = matched.join(keep, "doc_id", "left_semi")
 
+    if req.hidden:
+        # Q20 hidden hits: excluded before ranking/facets
+        matched = matched.where(~F.col("doc_id").isin(list(req.hidden)))
+
     found = matched.count()
 
     # Q17-Q19 facets over the FULL matched set (not just the page)
@@ -299,14 +308,42 @@ def search(index: Index, req: SearchRequest) -> SearchResult:
 
     # Q14/Q22: distributed top-k (TakeOrderedAndProject) then page slice
     top_n = req.page * req.per_page
-    top = hydrated.orderBy(*order).limit(top_n)
-    w = Window.orderBy(*order)  # ≤ page*per_page rows — driver-scale
     proj = ["rank", "doc_id", "score_milli", *req.include_fields]
-    hits = (
-        top.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") > (req.page - 1) * req.per_page)
-        .select(*proj)
-    )
+    if req.pinned:
+        # Q20 pinned hits: driver-side positional splice of the (small)
+        # winner list, like the reference (src/collection.cpp:897-922)
+        organic = hydrated.orderBy(*order).limit(top_n + len(req.pinned)).collect()
+        scores = {r["doc_id"]: r["score_milli"] for r in organic}
+        queue = [r["doc_id"] for r in organic if r["doc_id"] not in req.pinned]
+        by_pos = {pos: d for d, pos in req.pinned.items()}
+        final: list[tuple[int, int, int]] = []
+        pos = 1
+        while len(final) < top_n and (queue or by_pos):
+            if pos in by_pos:
+                d = by_pos.pop(pos)
+            elif queue:
+                d = queue.pop(0)
+            else:
+                d = by_pos.pop(min(by_pos))
+            final.append((pos, d, scores.get(d, 0)))
+            pos += 1
+        page_rows = final[(req.page - 1) * req.per_page :]
+        hits = index.spark.createDataFrame(
+            page_rows, schema="rank int, doc_id long, score_milli long"
+        )
+        if req.include_fields:
+            hits = hits.join(
+                docs.select("doc_id", *req.include_fields), "doc_id", "left"
+            )
+        hits = hits.select(*proj)
+    else:
+        top = hydrated.orderBy(*order).limit(top_n)
+        w = Window.orderBy(*order)  # ≤ page*per_page rows — driver-scale
+        hits = (
+            top.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") > (req.page - 1) * req.per_page)
+            .select(*proj)
+        )
     return SearchResult(
         hits=hits,
         matched=matched,
