@@ -34,7 +34,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
-TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
+TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
 PARTITIONS = 64  # identical job at every level: fixed partitioning
 
 BUILD_KW = dict(

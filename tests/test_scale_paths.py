@@ -1,0 +1,92 @@
+"""Scale-path variants must agree with the driver-path defaults:
+Spark-join typo expansion vs driver dict, WAND pruning actually prunes,
+corpus validation splits."""
+
+from pyspark.sql import functions as F
+
+from typesense_spark.index.validate import split_valid
+from typesense_spark.search.expand import expand_terms_spark, expand_token
+
+
+def test_expand_terms_spark_matches_driver(built_index):
+    terms_df = built_index.terms.where(F.col("field") == "content")
+    term_df = {r["term"]: r["df"] for r in terms_df.collect()}
+    for token, typos, prefix in [
+        ("zygomorphik", 2, False),
+        ("import", 1, False),
+        ("zygo", 0, True),
+        ("retur", 2, True),
+    ]:
+        driver = expand_token(token, term_df, typos, prefix)
+        spark_side = sorted(
+            (r["term"], r["cost"])
+            for r in expand_terms_spark(terms_df, token, typos, prefix).collect()
+        )
+        assert spark_side == driver, (token, spark_side, driver)
+
+
+def test_wand_actually_prunes_blocks(built_index):
+    from typesense_spark.search.engine import SearchRequest, search
+    from typesense_spark.search.expand import expand_query
+    from typesense_spark.search.wand import prune_blocks
+
+    # Block-max pruning needs contribution VARIANCE across blocks
+    # (uniform synthetic corpora yield block_max ≈ term ub everywhere —
+    # a known property of block-max WAND). Construct dl-skew: docs
+    # 0..79 are long (low per-occurrence contribution), docs 80..87
+    # are short (high contribution); blocks are doc_id-ordered, so the
+    # long docs fill low-max blocks that τ prunes.
+    from typesense_spark.index import build_index
+
+    spark = built_index.spark
+    rows = [(i, "hot " + " ".join(f"w{i}x{j}" for j in range(200))) for i in range(80)]
+    rows += [(80 + i, "hot tiny") for i in range(8)]
+    df = spark.createDataFrame(rows, schema="doc_id long, content string")
+    ix = build_index(spark, df, fields=["content"], id_col="doc_id",
+                     num_buckets=4, block_size=16)
+    tdf = {r["term"]: r["df"] for r in ix.terms.collect()}
+    cand2 = expand_query(["hot", "tiny"], tdf, 0, False)
+    terms2 = sorted({t for c in cand2.values() for t, _ in c})
+    total2 = ix.candidate_postings(terms2, ["content"]).count()
+    survived2 = prune_blocks(ix, ["hot", "tiny"], cand2, ("content",), k=3).count()
+    assert survived2 < total2  # metadata filter removed real blocks
+
+    tokens = ["import", "return", "merge0"]
+    term_df = {
+        r["term"]: r["df"]
+        for r in built_index.terms.where(F.col("field") == "content").collect()
+    }
+    cand = expand_query(tokens, term_df, 0, False)
+    # and results are still exact (vs exhaustive)
+    naive = search(
+        built_index,
+        SearchRequest(q=" ".join(tokens), fields=("content",), num_typos=0, mode="or", per_page=10),
+    ).hits.collect()
+    wand = search(
+        built_index,
+        SearchRequest(q=" ".join(tokens), fields=("content",), num_typos=0, mode="or",
+                      per_page=10, use_wand=True),
+    ).hits.collect()
+    assert [tuple(r) for r in wand] == [tuple(r) for r in naive]
+
+
+def test_split_valid(spark):
+    df = spark.createDataFrame(
+        [
+            ("r", "p", "c", "ok content"),
+            (None, "p", "c", "x"),
+            ("r", "p", "c", ""),
+            ("r", "p", "c", "y" * 100),
+        ],
+        schema="repo string, path string, commit string, content string",
+    )
+    valid, rejected = split_valid(
+        df, ["repo", "path", "commit"], content_col="content", max_content_bytes=50
+    )
+    assert valid.count() == 1
+    reasons = sorted(r["reject_reason"] for r in rejected.collect())
+    assert reasons == [
+        "content exceeds 50 bytes",
+        "empty content",
+        "missing required field: repo",
+    ]

@@ -77,15 +77,17 @@ def expand_token(
             c = levenshtein(t, token)
             if 1 <= c <= max_cost:
                 by_cost.setdefault(c, []).append((-df, t))
-        for c, lst in by_cost.items():
-            for _, t in sorted(lst)[:MAX_CANDIDATES]:
+        for c in sorted(by_cost):
+            for _, t in sorted(by_cost[c])[:MAX_CANDIDATES]:
                 out.setdefault(t, c)
     if prefix:
         pref = sorted(
             ((-df, t) for t, df in term_df.items() if t.startswith(token) and t != token)
         )[:MAX_CANDIDATES_PREFIX]
         for _, t in pref:
-            out.setdefault(t, 0)
+            # a term reachable both ways keeps the MIN cost (prefix = 0),
+            # matching the Spark-join path's groupBy(term).min(cost)
+            out[t] = 0
     return sorted(out.items())
 
 

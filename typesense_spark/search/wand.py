@@ -56,9 +56,17 @@ def prune_blocks(
         tok: max((term_ub.get(t, 0) for t in ts), default=0)
         for tok, ts in tok_terms.items()
     }
-    total_ub = sum(tok_ub.values())
+    # duplicates in the token list each contribute to a doc's score →
+    # count every instance in the global upper bound (conservative)
+    total_ub = sum(tok_ub.get(t, 0) for t in tokens)
 
-    # lower-bound pass: score the heaviest token's candidates only
+    # lower-bound pass (two probes):
+    # 1. seed docs = top-k of the heaviest token alone (cheap scan);
+    # 2. τ = k-th EXACT multi-token score of the seeds, computed by
+    #    decoding only blocks whose [min_doc, max_doc] range covers a
+    #    seed (metadata filter). Exact achieved scores approach the sum
+    #    of upper bounds, so τ can exceed any single token's ub — the
+    #    one-token partial bound never prunes other tokens' blocks.
     heavy = max(tokens, key=lambda t: tok_ub.get(t, 0))
     heavy_terms = tok_terms.get(heavy) or all_terms
     from typesense_spark.index.build import decode_postings
@@ -71,7 +79,31 @@ def prune_blocks(
         .limit(k)
         .collect()
     )
-    tau = int(partial[-1]["s"]) if len(partial) >= k else 0
+    tau = 0
+    if len(partial) >= k:
+        seeds = [int(r["doc_id"]) for r in partial]
+        cover = None
+        for s in seeds:
+            c = (F.col("min_doc_id") <= s) & (F.col("max_doc_id") >= s)
+            cover = c if cover is None else (cover | c)
+        term_tok = [(t, tok) for tok, ts in tok_terms.items() for t in ts]
+        tmap = index.spark.createDataFrame(term_tok, schema="term string, qtok string")
+        exact = (
+            decode_postings(blocks.where(cover))
+            .where(F.col("doc_id").isin(seeds))
+            .join(F.broadcast(tmap), "term")
+            .groupBy("doc_id", "qtok")
+            .agg(F.max("contrib").alias("c"))
+            .groupBy("doc_id")
+            .agg(F.sum("c").alias("s"))
+            .orderBy(F.col("s").desc())
+            .limit(k)
+            .collect()
+        )
+        if len(exact) >= k:
+            tau = int(exact[-1]["s"])
+        else:
+            tau = int(partial[-1]["s"])
 
     # metadata-only block filter: max_contrib + (total_ub - own token ub) >= τ.
     # A term serving several tokens keeps the LARGEST token ub
