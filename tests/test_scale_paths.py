@@ -48,7 +48,9 @@ def test_wand_actually_prunes_blocks(built_index):
     cand2 = expand_query(["hot", "tiny"], tdf, 0, False)
     terms2 = sorted({t for c in cand2.values() for t, _ in c})
     total2 = ix.candidate_postings(terms2, ["content"]).count()
-    survived2 = prune_blocks(ix, ["hot", "tiny"], cand2, ("content",), k=3).count()
+    survived2 = prune_blocks(
+        ix, ["hot", "tiny"], cand2, ("content",), k=3, min_blocks=0
+    ).count()
     assert survived2 < total2  # metadata filter removed real blocks
 
     tokens = ["import", "return", "merge0"]

@@ -76,11 +76,19 @@ class SearchRequest:
 class SearchResult:
     hits: DataFrame  # rank, doc_id, score_milli (+include_fields)
     matched: DataFrame  # full candidate set (doc_id, score_milli)
-    found: int
     facets: dict = dc_field(default_factory=dict)
     facet_stats: dict = dc_field(default_factory=dict)
     attempts: list = dc_field(default_factory=list)
     grouped: DataFrame | None = None
+    _found: int | None = None
+
+    @property
+    def found(self) -> int:
+        """Total matched docs — computed lazily (it is its own Spark job;
+        most callers only read the hits page)."""
+        if self._found is None:
+            self._found = self.matched.count()
+        return self._found
 
 
 def parse_query(q: str) -> tuple[list[str], list[str]]:
@@ -238,6 +246,8 @@ def search(index: Index, req: SearchRequest) -> SearchResult:
                     .groupBy("doc_id")
                     .agg(F.max("score_milli").alias("score_milli"))
                 )
+                if attempt is plan[-1]:
+                    break  # no further fallback — skip the count job
                 if (
                     matched.limit(req.drop_tokens_threshold).count()
                     >= req.drop_tokens_threshold
@@ -258,7 +268,6 @@ def search(index: Index, req: SearchRequest) -> SearchResult:
         # Q20 hidden hits: excluded before ranking/facets
         matched = matched.where(~F.col("doc_id").isin(list(req.hidden)))
 
-    found = matched.count()
 
     # Q17-Q19 facets over the FULL matched set (not just the page)
     facets, facet_stats = {}, {}
@@ -347,7 +356,6 @@ def search(index: Index, req: SearchRequest) -> SearchResult:
     return SearchResult(
         hits=hits,
         matched=matched,
-        found=found,
         facets=facets,
         facet_stats=facet_stats,
         attempts=attempts,

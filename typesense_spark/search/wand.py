@@ -39,6 +39,7 @@ def prune_blocks(
     cand_map: dict[str, list[tuple[str, int]]],
     fields,
     k: int,
+    min_blocks: int = 256,
 ) -> DataFrame:
     """Return the pruned postings-block DataFrame for an OR query."""
     tok_terms = {tok: [t for t, _ in cand_map.get(tok, [])] for tok in tokens}
@@ -46,6 +47,11 @@ def prune_blocks(
     if not all_terms:
         return index.candidate_postings([], list(fields))
     blocks = index.candidate_postings(all_terms, list(fields))
+
+    # pruning has fixed costs (two probe passes); below this block count
+    # a straight decode is cheaper than any skipping — engage at scale
+    if blocks.count() <= min_blocks:
+        return blocks
 
     # per-token upper bound from block metadata only
     term_ub = {
