@@ -121,3 +121,22 @@ def test_curation_pinned_and_hidden(built_index):
     organic_rest = [d for d in base_ids[1:] if d != outsider]
     spliced = [d for _, d in got if d != outsider]
     assert spliced == organic_rest[: len(spliced)]
+
+
+def test_batch_search_matches_per_query(built_index):
+    from typesense_spark.search.batch import batch_search
+
+    qset = [("a", "import return"), ("b", "merge0"), ("c", "zzznope import")]
+    out = batch_search(built_index, qset, fields=("content",), num_typos=0, k=5)
+    by_qid = {}
+    for r in out.collect():
+        by_qid.setdefault(r["qid"], []).append((r["rank"], r["doc_id"], r["score_milli"]))
+    for qid, q in qset:
+        res = search(
+            built_index,
+            SearchRequest(q=q, fields=("content",), num_typos=0, per_page=5,
+                          drop_tokens_threshold=0),
+        )
+        want = [(r["rank"], r["doc_id"], r["score_milli"]) for r in res.hits.collect()]
+        got = sorted(by_qid.get(qid, []))
+        assert got == want, (qid, got, want)

@@ -368,6 +368,29 @@ def q_events_window(spark, sf_dir):
     )
 
 
+BATCH_QUERIES = [
+    ("q1", "table"),
+    ("q2", "merge batch"),
+    ("q3", "window fast"),
+    ("q4", "scan filter"),
+    ("q5", "group order"),
+    ("q6", "stream data"),
+    ("q7", "hash key"),
+    ("q8", "table merge window"),
+]
+
+
+def q_batch_queries(spark, sf_dir):
+    """Set-oriented multi-query search: 8 queries in ONE Spark job
+    (the Spark-idiomatic answer to the reference's concurrent-qps
+    baseline; see search/batch.py)."""
+    from typesense_spark.search.batch import batch_search
+
+    return batch_search(
+        get_index(spark, sf_dir), BATCH_QUERIES, fields=("text",), num_typos=0, k=10
+    )
+
+
 QUERIES = {
     "exact_term": q_exact_term,
     "multi_and": q_multi_and,
@@ -398,6 +421,7 @@ QUERIES = {
     "token_counts": q_token_counts,
     "fingerprint": q_fingerprint,
     "events_window": q_events_window,
+    "batch_queries": q_batch_queries,
 }
 
 
@@ -611,6 +635,24 @@ def build_oracles() -> dict[str, str]:
         "FROM (SELECT DISTINCT term FROM tok))"
         f" SELECT doc_id, sum(((pos + 1) * tid) % {FP_MOD}) % {FP_MOD} AS fingerprint "
         "FROM tok JOIN tid USING (term) GROUP BY 1"
+    )
+    from typesense_spark.tokenizer import tokenize_terms
+
+    qvals = []
+    for qid, q in BATCH_QUERIES:
+        toks = tokenize_terms(q)
+        for i, t in enumerate(toks):
+            qvals.append(f"('{qid}', {i}, '{t}', {len(toks)})")
+    o["batch_queries"] = (
+        _PRELUDE
+        + f", qset(qid, qidx, term, n_tokens) AS (VALUES {', '.join(qvals)})"
+        + ", per_tok AS (SELECT qset.qid, qset.n_tokens, contrib.doc_id, qset.qidx, "
+        "max(contrib.c) AS best FROM contrib JOIN qset USING (term) GROUP BY 1, 2, 3, 4)"
+        ", scored AS (SELECT qid, doc_id, sum(best) AS score_milli FROM per_tok "
+        "GROUP BY qid, n_tokens, doc_id HAVING count(*) = n_tokens)"
+        " SELECT qid, CAST(rn AS BIGINT) AS rank, doc_id, score_milli FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score_milli DESC, doc_id DESC) AS rn "
+        "FROM scored) WHERE rn <= 10"
     )
     o["events_window"] = (
         # floor() before the cast: DuckDB's epoch() keeps fractional

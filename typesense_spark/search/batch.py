@@ -1,0 +1,77 @@
+"""Batched multi-query search — N queries in ONE Spark job.
+
+The reference's throughput story is concurrent single queries against
+an in-memory trie (250 qps on 3 nodes, README.md:172). Spark's per-job
+latency floor makes one-query-at-a-time the wrong shape; the idiomatic
+equivalent is set-oriented: expand EVERY query's candidates into one
+broadcast map, decode the union of candidate postings ONCE, score all
+(query, doc) pairs in one aggregation, and take per-query top-k with a
+window. Throughput then scales with cluster size instead of being
+bounded by job-scheduling latency (measured in bench.py as
+``batch_qps``).
+
+Semantics per query are identical to ``engine.search`` (same expansion
+spec, same max-per-token scoring, same AND/OR and tie-break rules) —
+asserted against it in tests, and against the DuckDB oracle in the
+gate (``batch_queries``). Drop-tokens fallback is intentionally NOT
+applied in batch mode (it is a per-query control-flow retry; callers
+re-run the few under-threshold queries individually).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from typesense_spark.index.build import Index
+from typesense_spark.search.engine import _get_term_df, parse_query
+from typesense_spark.search.expand import expand_query
+
+
+def batch_search(
+    index: Index,
+    queries: list[tuple[str, str]],
+    fields: tuple[str, ...] = ("content",),
+    num_typos: int = 0,
+    prefix_last: bool = False,
+    mode: str = "and",
+    k: int = 10,
+) -> DataFrame:
+    """[(qid, q)] → (qid, rank, doc_id, score_milli), rank ≤ k per qid."""
+    term_df = _get_term_df(index, fields)
+    rows: list[tuple[str, int, str, int]] = []
+    for qid, q in queries:
+        tokens, _ = parse_query(q)
+        cand = expand_query(tokens, term_df, num_typos, prefix_last)
+        if mode == "and" and any(not cand[t] for t in tokens):
+            continue  # unsatisfiable AND query → no rows
+        for i, tok in enumerate(tokens):
+            for t, _c in cand[tok]:
+                rows.append((qid, i, t, len(tokens)))
+    spark = index.spark
+    if not rows:
+        return spark.createDataFrame(
+            [], schema="qid string, rank long, doc_id long, score_milli long"
+        )
+    cmap = spark.createDataFrame(
+        rows, schema="qid string, qidx int, term string, n_tokens int"
+    )
+    decoded = index.decoded(sorted({r[2] for r in rows}), list(fields))
+    per_tok = (
+        decoded.join(F.broadcast(cmap), "term")
+        .groupBy("qid", "n_tokens", "doc_id", "qidx")
+        .agg(F.max("contrib").alias("tok_score"))
+    )
+    scored = per_tok.groupBy("qid", "n_tokens", "doc_id").agg(
+        F.sum("tok_score").alias("score_milli"), F.count("*").alias("nmatch")
+    )
+    if mode == "and":
+        scored = scored.where(F.col("nmatch") == F.col("n_tokens"))
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score_milli").desc(), F.col("doc_id").desc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", "score_milli")
+    )
