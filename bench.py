@@ -34,7 +34,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
-TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
+TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
 PARTITIONS = 64  # identical job at every level: fixed partitioning
 
 BUILD_KW = dict(
@@ -175,8 +175,10 @@ def main() -> None:
 
     levels = [2, 8, 32]
     best: dict[int, dict] = {}
+    all_trials: dict[str, list] = {}
     for cores in levels:
         runs = [_spawn_build(f"local[{cores}]", cores) for _ in range(TRIALS)]
+        all_trials[f"{cores}c"] = [r["elapsed_sec"] for r in runs]
         best[cores] = min(runs, key=lambda r: r["elapsed_sec"])
 
     def eff(lo: int, hi: int) -> float:
@@ -201,6 +203,7 @@ def main() -> None:
             "postings_per_sec": {f"{c}c": best[c]["postings_per_sec"] for c in levels},
             "efficiency_2_to_8": eff(2, 8),
             "efficiency_8_to_32": eff(8, 32),
+            "trial_walls_sec": all_trials,
             "note": "32 vCPU = ~26 effective cores (SMT); shared VM with CPU steal — see BASELINE.md",
         },
     }

@@ -177,8 +177,15 @@ def checkpointed_build(
         part.write.mode("overwrite").parquet(
             os.path.join(out_dir, "postings", f"group={g}")
         )
-        written = spark.read.parquet(os.path.join(out_dir, "postings", f"group={g}"))
-        n_postings = written.agg(F.sum("n_docs")).collect()[0][0] or 0
+        gdir = os.path.join(out_dir, "postings", f"group={g}")
+        written = spark.read.parquet(gdir)
+        agg = written.agg(
+            F.sum("n_docs").alias("p"), F.count("*").alias("b")
+        ).collect()[0]
+        n_postings = int(agg["p"] or 0)
+        n_bytes = sum(
+            f.stat().st_size for f in os.scandir(gdir) if f.name.endswith(".parquet")
+        )
         elapsed = time.time() - tg
         _write_marker(
             out_dir,
@@ -186,10 +193,12 @@ def checkpointed_build(
             {
                 "stage": stage,
                 "group": g,
-                "blocks": written.count(),
-                "postings": int(n_postings),
+                "blocks": int(agg["b"]),
+                "postings": n_postings,
+                "bytes": n_bytes,
+                "bytes_per_posting": round(n_bytes / max(n_postings, 1), 3),
                 "elapsed_sec": elapsed,
-                "postings_per_sec": int(n_postings) / max(elapsed, 1e-9),
+                "postings_per_sec": n_postings / max(elapsed, 1e-9),
                 "lineage": lineage,
             },
         )
