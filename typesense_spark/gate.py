@@ -368,6 +368,20 @@ def q_events_window(spark, sf_dir):
     )
 
 
+def q_events_json(spark, sf_dir):
+    """Semi-structured props: JSON field extraction + bucketed agg
+    (training-pipeline staple; JVM get_json_object — no Python)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.select(
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+            "event_type",
+        )
+        .groupBy((F.col("k") % 10).alias("k_bucket"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k"))
+    )
+
+
 BATCH_QUERIES = [
     ("q1", "table"),
     ("q2", "merge batch"),
@@ -421,6 +435,7 @@ QUERIES = {
     "token_counts": q_token_counts,
     "fingerprint": q_fingerprint,
     "events_window": q_events_window,
+    "events_json": q_events_json,
     "batch_queries": q_batch_queries,
 }
 
@@ -635,6 +650,11 @@ def build_oracles() -> dict[str, str]:
         "FROM (SELECT DISTINCT term FROM tok))"
         f" SELECT doc_id, sum(((pos + 1) * tid) % {FP_MOD}) % {FP_MOD} AS fingerprint "
         "FROM tok JOIN tid USING (term) GROUP BY 1"
+    )
+    o["events_json"] = (
+        "SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket, event_type, "
+        "count(*) AS n, sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k "
+        "FROM events GROUP BY 1, 2"
     )
     from typesense_spark.tokenizer import tokenize_terms
 
