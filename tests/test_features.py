@@ -140,3 +140,23 @@ def test_batch_search_matches_per_query(built_index):
         want = [(r["rank"], r["doc_id"], r["score_milli"]) for r in res.hits.collect()]
         got = sorted(by_qid.get(qid, []))
         assert got == want, (qid, got, want)
+
+
+def test_unicode_corpus_end_to_end(spark):
+    """Non-ASCII content folds identically at index and query time
+    (iconv ASCII//TRANSLIT analogue, reference src/tokenizer.cpp:64-100)."""
+    df = spark.createDataFrame(
+        [
+            (1, "Löwenbräu Müller café"),
+            (2, "lowenbrau plain"),
+            (3, "nothing relevant"),
+        ],
+        schema="doc_id long, content string",
+    )
+    from typesense_spark.index import build_index
+
+    ix = build_index(spark, df, fields=["content"], id_col="doc_id", num_buckets=4)
+    terms = {r["term"] for r in ix.terms.collect()}
+    assert "lowenbrau" in terms and "cafe" in terms and "muller" in terms
+    res = search(ix, SearchRequest(q="löwenbräu", fields=("content",), num_typos=0))
+    assert {r["doc_id"] for r in res.hits.collect()} == {1, 2}
