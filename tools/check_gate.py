@@ -42,9 +42,13 @@ def value_hash(rows, cols):
 
 
 def main():
+    import os
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = get_spark(shuffle_partitions=8)
+    spark = get_spark(
+        shuffle_partitions=int(os.environ.get("CHECK_GATE_SHUFFLE", "8"))
+    )
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"

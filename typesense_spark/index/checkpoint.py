@@ -104,13 +104,13 @@ def checkpointed_build(
     # every later stage derives from the PERSISTED docs table, so a
     # resumed run sees byte-identical input regardless of the source
     docs = spark.read.parquet(os.path.join(out_dir, "docs"))
-    ix = build_index(
-        spark, docs, fields=fields, id_col="doc_id", persist=False, **build_kw
-    )
 
     # ---- stage 1: dictionary + doc attributes + stats ----
     t1 = time.time()
     if not (resume and _has_marker(out_dir, "dict")):
+        ix = build_index(
+            spark, docs, fields=fields, id_col="doc_id", persist=False, **build_kw
+        )
         ix.terms.write.mode("overwrite").parquet(os.path.join(out_dir, "terms"))
         ix.doc_attrs.write.mode("overwrite").parquet(os.path.join(out_dir, "doc_attrs"))
         with open(os.path.join(out_dir, "stats.json"), "w") as f:
@@ -135,6 +135,16 @@ def checkpointed_build(
             },
         )
 
+    # later stages ALWAYS use the committed dictionary + stats from disk
+    # (FROZEN): a resumed or partially-rebuilt index must score every
+    # group with the same constants the committed groups used
+    from typesense_spark.index.build import FieldStats
+
+    with open(os.path.join(out_dir, "stats.json")) as f:
+        meta = json.load(f)
+    frozen_stats = {k: FieldStats(**v) for k, v in meta["stats"].items()}
+    num_buckets = meta["num_buckets"]
+
     # ---- stage 2..: postings, in independently-committed groups ----
     # each group re-runs only: map-side tokenize (cheap) filtered to its
     # bucket slice BEFORE the shuffle + its slice of the pack shuffle,
@@ -143,7 +153,6 @@ def checkpointed_build(
     from typesense_spark.index.build import TF_SCHEMA, pack_pipeline, tokenize_mapper, term_bucket_expr
 
     terms_disk = spark.read.parquet(os.path.join(out_dir, "terms"))
-    num_buckets = ix.num_buckets
     for g in range(n_groups):
         stage = f"postings_group_{g}"
         if resume and _has_marker(out_dir, stage):
@@ -166,7 +175,7 @@ def checkpointed_build(
             spark,
             tf_g,
             terms_disk,
-            ix.stats,
+            frozen_stats,
             fields,
             num_buckets=num_buckets,
             block_size=build_kw.get("block_size", 128),
