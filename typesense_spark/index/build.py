@@ -339,10 +339,14 @@ def pack_pipeline(
         fs = stats[fld]
         tf_f = tf_all.where(F.col("field") == fld)
         # dl already on the row — only the per-term df joins in
-        # (broadcast when small; key matches the pack shuffle key)
+        # (broadcast when small; key matches the pack shuffle key).
+        # LEFT join: when packing against a FROZEN dictionary (group
+        # rebuild after upsert, streaming append), terms the dictionary
+        # has never seen default to df=1 — same pinned semantics as
+        # streaming/incremental.py
         enriched = tf_f.join(
-            terms.where(F.col("field") == fld).select("term", "df"), "term"
-        )
+            terms.where(F.col("field") == fld).select("term", "df"), "term", "left"
+        ).withColumn("df", F.coalesce("df", F.lit(1)))
         # hot-term salting: bound any single pack-group's size
         enriched = enriched.withColumn(
             "salt",

@@ -38,27 +38,18 @@ from typesense_spark.index.checkpoint import (
 )
 
 
-def delete_docs(
-    spark: SparkSession,
-    out_dir: str,
-    doc_ids: list[int],
-    fields: list[str],
-) -> dict:
-    """Delete ``doc_ids`` from the index at ``out_dir``. Returns a
-    summary {deleted, affected_buckets, rebuilt_groups}."""
+def _lineage(out_dir: str) -> tuple[int, dict, int]:
     with open(os.path.join(out_dir, "manifest.json")) as f:
         lineage = json.load(f)["lineage"]
-    n_groups = lineage["n_groups"]
     build_kw = lineage["build_kw"]
-    num_buckets = build_kw.get("num_buckets", 16)
+    return lineage["n_groups"], build_kw, build_kw.get("num_buckets", 16)
 
-    docs = spark.read.parquet(os.path.join(out_dir, "docs"))
-    victims = docs.where(F.col("doc_id").isin([int(d) for d in doc_ids]))
 
-    # buckets the victims touch: tokenize only the victims
-    affected_buckets: set[int] = set()
+def _touched_buckets(rows_df, fields: list[str], num_buckets: int) -> set[int]:
+    """Term buckets a (small) set of doc rows touches — tokenize only them."""
+    out: set[int] = set()
     for fld in fields:
-        tf = victims.select("doc_id", fld).mapInPandas(
+        tf = rows_df.select("doc_id", fld).mapInPandas(
             tokenize_mapper(fld, False), schema=TF_SCHEMA
         )
         rows = (
@@ -66,19 +57,25 @@ def delete_docs(
             .distinct()
             .collect()
         )
-        affected_buckets |= {int(r["b"]) for r in rows}
-    affected_groups = sorted({b % n_groups for b in affected_buckets})
+        out |= {int(r["b"]) for r in rows}
+    return out
 
-    # rewrite the docs table without the victims (new dir + swap)
-    survivors = docs.where(~F.col("doc_id").isin([int(d) for d in doc_ids]))
-    tmp = os.path.join(out_dir, "docs__new")
-    survivors.write.mode("overwrite").parquet(tmp)
-    n_survivors = spark.read.parquet(tmp).count()
-    shutil.rmtree(os.path.join(out_dir, "docs"))
-    os.rename(tmp, os.path.join(out_dir, "docs"))
 
-    # refresh doc_attrs (cheap map+agg over survivors); terms/stats stay
-    # FROZEN by design — do NOT re-run the dict stage
+def _swap_dir(write_df, out_dir: str, name: str) -> None:
+    target = os.path.join(out_dir, name)
+    tmp = os.path.join(out_dir, f"{name}__new")
+    write_df.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(target)
+    os.rename(tmp, target)
+    # drop Spark's cached file listing for the path — the rename keeps
+    # the path identical, so later reads would otherwise resolve the
+    # OLD part files (FAILED_READ_FILE.FILE_NOT_EXIST)
+    write_df.sparkSession.catalog.refreshByPath(target)
+    write_df.sparkSession.catalog.refreshByPath(tmp)
+
+
+def _refresh_doc_attrs(spark: SparkSession, out_dir: str, fields: list[str]) -> None:
+    """doc_attrs follows the docs table; terms/stats stay FROZEN."""
     new_docs = spark.read.parquet(os.path.join(out_dir, "docs"))
     tf_parts = [
         new_docs.select("doc_id", fld).mapInPandas(
@@ -89,15 +86,25 @@ def delete_docs(
     tf_all = tf_parts[0]
     for p in tf_parts[1:]:
         tf_all = tf_all.unionByName(p)
-    attrs_tmp = os.path.join(out_dir, "doc_attrs__new")
-    tf_all.groupBy("field", "doc_id").agg(F.max("dl").alias("dl")).write.mode(
-        "overwrite"
-    ).parquet(attrs_tmp)
-    shutil.rmtree(os.path.join(out_dir, "doc_attrs"))
-    os.rename(attrs_tmp, os.path.join(out_dir, "doc_attrs"))
+    _swap_dir(
+        tf_all.groupBy("field", "doc_id").agg(F.max("dl").alias("dl")),
+        out_dir,
+        "doc_attrs",
+    )
 
-    # invalidate affected groups' markers + data, then resume the build
-    # (only those groups recompute, against the frozen on-disk dict)
+
+def _rebuild_groups(
+    spark: SparkSession,
+    out_dir: str,
+    affected_buckets: set[int],
+    fields: list[str],
+    n_groups: int,
+    build_kw: dict,
+) -> list[int]:
+    """Invalidate the markers/data of affected groups and resume the
+    checkpointed build — only those groups recompute, against the
+    frozen on-disk dictionary."""
+    affected_groups = sorted({b % n_groups for b in affected_buckets})
     for g in affected_groups:
         stage = f"postings_group_{g}"
         if _has_marker(out_dir, stage):
@@ -105,9 +112,10 @@ def delete_docs(
         gdir = os.path.join(out_dir, "postings", f"group={g}")
         if os.path.exists(gdir):
             shutil.rmtree(gdir)
+    docs = spark.read.parquet(os.path.join(out_dir, "docs"))
     checkpointed_build(
         spark,
-        new_docs,
+        docs,
         out_dir,
         fields=fields,
         id_col="doc_id",
@@ -115,9 +123,108 @@ def delete_docs(
         resume=True,
         **build_kw,
     )
+    return affected_groups
+
+
+def delete_docs(
+    spark: SparkSession,
+    out_dir: str,
+    doc_ids: list[int],
+    fields: list[str],
+) -> dict:
+    """Delete ``doc_ids`` from the index at ``out_dir``. Returns a
+    summary {deleted, affected_buckets, rebuilt_groups}."""
+    n_groups, build_kw, num_buckets = _lineage(out_dir)
+    docs = spark.read.parquet(os.path.join(out_dir, "docs"))
+    ids = [int(d) for d in doc_ids]
+    victims = docs.where(F.col("doc_id").isin(ids))
+    affected_buckets = _touched_buckets(victims, fields, num_buckets)
+
+    _swap_dir(docs.where(~F.col("doc_id").isin(ids)), out_dir, "docs")
+    n_survivors = spark.read.parquet(os.path.join(out_dir, "docs")).count()
+    _refresh_doc_attrs(spark, out_dir, fields)
+    rebuilt = _rebuild_groups(spark, out_dir, affected_buckets, fields, n_groups, build_kw)
     return {
-        "deleted": len(doc_ids),
+        "deleted": len(ids),
         "survivors": n_survivors,
         "affected_buckets": sorted(affected_buckets),
-        "rebuilt_groups": affected_groups,
+        "rebuilt_groups": rebuilt,
+    }
+
+
+def upsert_docs(
+    spark: SparkSession,
+    out_dir: str,
+    new_rows,
+    key_cols: list[str],
+    fields: list[str],
+) -> dict:
+    """Upsert by natural key (S8): rows matching an existing key REPLACE
+    that doc (doc_id stable); unmatched rows get fresh ids after the
+    current max. Affected buckets = terms of the OLD versions ∪ terms
+    of the NEW rows; only those groups rebuild. Frozen-stats semantics
+    as in :func:`delete_docs` (the reference's analogue diffs old vs
+    new and reindexes changed fields, src/collection.cpp:219-238).
+    """
+    n_groups, build_kw, num_buckets = _lineage(out_dir)
+    docs = spark.read.parquet(os.path.join(out_dir, "docs"))
+    key = [F.col(c) for c in key_cols]
+
+    matched_old = docs.join(new_rows.select(*key_cols), key_cols, "left_semi")
+    affected = _touched_buckets(matched_old, fields, num_buckets)
+
+    # id assignment: reuse matched doc_id; new keys rank after max id
+    id_map = docs.select(*key_cols, "doc_id")
+    with_ids = new_rows.join(id_map, key_cols, "left")
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0] or -1
+    from pyspark.sql import Window
+
+    w = Window.orderBy(*key)  # new rows are few — driver-scale window
+    new_part = (
+        with_ids.where(F.col("doc_id").isNull())
+        .withColumn("doc_id", (F.row_number().over(w) + max_id).cast("long"))
+    )
+    upd_part = with_ids.where(F.col("doc_id").isNotNull())
+    incoming = upd_part.unionByName(new_part)
+    if "content" in incoming.columns:
+        incoming = incoming.withColumn("content_sha", F.sha2(F.col("content"), 256))
+    affected |= _touched_buckets(incoming, fields, num_buckets)
+
+    # terms the frozen dictionary has never seen must still be findable:
+    # append them with batch-local df/cf/max_tf BEFORE the group rebuild
+    # so packing and query expansion agree on df. Computed BEFORE the
+    # docs swap — `incoming` still references the pre-swap docs files.
+    terms_path = os.path.join(out_dir, "terms")
+    existing_terms = spark.read.parquet(terms_path)
+    tf_parts = [
+        incoming.select("doc_id", fld).mapInPandas(
+            tokenize_mapper(fld, False), schema=TF_SCHEMA
+        )
+        for fld in fields
+    ]
+    tf_inc = tf_parts[0]
+    for p in tf_parts[1:]:
+        tf_inc = tf_inc.unionByName(p)
+    new_terms = (
+        tf_inc.groupBy("field", "term")
+        .agg(
+            F.count("*").alias("df"),
+            F.sum("tf").alias("cf"),
+            F.max("tf").alias("max_tf"),
+        )
+        .join(existing_terms.select("field", "term"), ["field", "term"], "left_anti")
+    )
+    n_new_terms = new_terms.count()
+    if n_new_terms:
+        new_terms.write.mode("append").parquet(terms_path)
+        spark.catalog.refreshByPath(terms_path)
+
+    keep = docs.join(new_rows.select(*key_cols), key_cols, "left_anti")
+    _swap_dir(keep.unionByName(incoming, allowMissingColumns=True), out_dir, "docs")
+    _refresh_doc_attrs(spark, out_dir, fields)
+    rebuilt = _rebuild_groups(spark, out_dir, affected, fields, n_groups, build_kw)
+    return {
+        "upserted": new_rows.count(),
+        "affected_buckets": sorted(affected),
+        "rebuilt_groups": rebuilt,
     }
