@@ -78,3 +78,35 @@ def test_highlight_marks_terms():
     assert "alpha" in snip  # affix context
     snip2 = highlight(text, {"nomatch"})
     assert "<mark>" not in snip2 and snip2.startswith("alpha")
+
+
+def test_rerank_proximity_in_engine(built_index):
+    from typesense_spark.search import SearchRequest, search
+    from typesense_spark.search.match import packed_match_score
+    from typesense_spark.tokenizer import tokenize
+
+    res = search(
+        built_index,
+        SearchRequest(q="import return", fields=("content",), num_typos=0,
+                      rerank_proximity=True, per_page=10),
+    )
+    rows = res.hits.collect()
+    assert rows
+    # verify ordering key: recompute each hit's proximity score in Python
+    contents = {
+        r["doc_id"]: r["content"]
+        for r in built_index.docs.where(
+            built_index.docs.doc_id.isin([r["doc_id"] for r in rows])
+        ).collect()
+    }
+    prox = {}
+    for d, content in contents.items():
+        plists = {"import": [], "return": []}
+        for t, p in tokenize(content):
+            if t in plists:
+                plists[t].append(p)
+        prox[d] = packed_match_score([v for v in plists.values() if v])
+    keyed = [(prox[r["doc_id"]],) for r in rows]
+    assert keyed == sorted(keyed, reverse=True) or all(
+        keyed[i] >= keyed[i + 1] for i in range(len(keyed) - 1)
+    )

@@ -70,6 +70,11 @@ class SearchRequest:
     # src/collection.cpp:427-493, splice src/collection.cpp:897-922)
     pinned: dict = dc_field(default_factory=dict)
     hidden: tuple = ()
+    # Q11 second-stage proximity re-rank: order becomes
+    # (match_score DESC, score_milli DESC, doc_id DESC) — the packed
+    # proximity score is the reference's primary relevance
+    # (match_score.h:49-57); here it re-ranks the BM25 candidate set
+    rerank_proximity: bool = False
 
 
 @dataclass
@@ -296,12 +301,29 @@ def search(index: Index, req: SearchRequest) -> SearchResult:
                 F.expr("stat_sum * 1000000 div stat_count").alias("stat_avg_micro"),
             )
 
+    # Q11 optional second stage: decode stored positions for the
+    # candidate docs only, compute the packed proximity score
+    if req.rerank_proximity and tokens != ["*"]:
+        from typesense_spark.search.match import proximity_rescore
+
+        prox_terms = sorted(
+            {t for attempt in attempts for t in attempt if t in _get_term_df(index, req.fields)}
+        )
+        prox = proximity_rescore(index, matched, prox_terms, list(req.fields))
+        matched = matched.join(prox, "doc_id", "left").withColumn(
+            "match_score", F.coalesce("match_score", F.lit(0)).cast("long")
+        )
+
     # ordering: explicit sort_by (wildcard path) else score DESC,
-    # doc_id DESC (reference tie-break, topster.h:254-257)
+    # doc_id DESC (reference tie-break, topster.h:254-257);
+    # proximity re-rank leads when enabled
     order = [
         (F.col(c).desc() if d.lower() == "desc" else F.col(c).asc())
         for c, d in req.sort_by
-    ] + [F.col("score_milli").desc(), F.col("doc_id").desc()]
+    ]
+    if req.rerank_proximity and tokens != ["*"]:
+        order.append(F.col("match_score").desc())
+    order += [F.col("score_milli").desc(), F.col("doc_id").desc()]
 
     hydrated = matched.join(docs, "doc_id") if (req.sort_by or req.include_fields or req.group_by) else matched
 
