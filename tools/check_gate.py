@@ -74,7 +74,22 @@ def main():
         try:
             rel = con.sql(oracles[name])
             ocols = rel.columns
-            orows = rel.fetchall()
+            # Fetch through Arrow, exactly like the driver's hasher.
+            # DuckDB renders HUGEINT (the un-CAST sum() type) as float64
+            # here, which is precisely the round-1 artifact — so also
+            # fail hard on any HUGEINT-typed output column.
+            hugeint_cols = [
+                c for c, t in zip(rel.columns, rel.types) if str(t) == "HUGEINT"
+            ]
+            if hugeint_cols:
+                print(
+                    f"FAIL {name}: HUGEINT oracle columns {hugeint_cols} — "
+                    "wrap in CAST(... AS BIGINT)"
+                )
+                n_fail += 1
+                continue
+            atab = rel.arrow()
+            orows = list(zip(*(c.to_pylist() for c in atab.columns)))
         except Exception as e:
             print(f"FAIL {name}: oracle error: {str(e)[:300]}")
             n_fail += 1

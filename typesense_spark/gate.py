@@ -112,7 +112,12 @@ def _scored_sql(n_tokens: int, mode: str = "and") -> str:
     return (
         ", per_tok AS (SELECT contrib.doc_id, cand.qidx, max(contrib.c) AS best "
         "FROM contrib JOIN cand USING (term) GROUP BY 1, 2)"
-        ", scored AS (SELECT doc_id, sum(best) AS score_milli FROM per_tok "
+        # CAST: DuckDB types sum(BIGINT) as HUGEINT (int128); un-cast it
+        # round-trips through Arrow/pandas as float64 and breaks the
+        # driver's value hash even when values are identical (round-1
+        # CORRECTNESS failure root cause). Every exposed aggregate below
+        # is pinned to BIGINT for this reason.
+        ", scored AS (SELECT doc_id, CAST(sum(best) AS BIGINT) AS score_milli FROM per_tok "
         f"GROUP BY 1 {having})"
     )
 
@@ -123,6 +128,7 @@ def _hits_sql(per_page: int = 10, page: int = 1, extra: str = "") -> str:
         " SELECT CAST(rn AS BIGINT) AS rank, doc_id, score_milli" + extra + " FROM ("
         "SELECT *, row_number() OVER (ORDER BY score_milli DESC, doc_id DESC) AS rn "
         "FROM scored) WHERE rn > " + str(off) + " AND rn <= " + str(page * per_page)
+        + " ORDER BY rank"
     )
 
 
@@ -146,9 +152,12 @@ def bm25_oracle(
 
 
 def _hits(res) -> DataFrame:
+    # final orderBy on every gate output (both sides) so the driver's
+    # value hash is immune to row-order differences; output is ≤ per_page
+    # rows so the sort is free
     return res.hits.select(
         F.col("rank").cast("long").alias("rank"), "doc_id", "score_milli"
-    )
+    ).orderBy("rank")
 
 
 def _search(spark, sf_dir, **kw):
@@ -213,7 +222,7 @@ def q_wildcard(spark, sf_dir):
         F.col("rank").cast("long").alias("rank"),
         "doc_id",
         F.col("n_chars").cast("long").alias("n_chars"),
-    )
+    ).orderBy("rank")
 
 
 def q_facet_counts(spark, sf_dir):
@@ -221,7 +230,7 @@ def q_facet_counts(spark, sf_dir):
     res = _search(spark, sf_dir, q="merge", num_typos=0, facet_by=("lang",))
     return res.facets["lang"].select(
         "facet_value", F.col("facet_count").cast("long").alias("facet_count")
-    )
+    ).orderBy(F.desc("facet_count"), "facet_value")
 
 
 def q_facet_stats(spark, sf_dir):
@@ -237,7 +246,7 @@ def q_grouped(spark, sf_dir):
     )
     return res.grouped.select(
         "lang", "doc_id", "score_milli", F.col("group_rank").cast("long").alias("group_rank")
-    )
+    ).orderBy("lang", "group_rank")
 
 
 def q_pagination(spark, sf_dir):
@@ -268,13 +277,17 @@ def q_term_dictionary(spark, sf_dir):
 def q_doc_lengths(spark, sf_dir):
     """B8: doc-attributes table (BM25 length norm input)."""
     ix = get_index(spark, sf_dir)
-    return ix.doc_attrs.select("doc_id", "dl")
+    return ix.doc_attrs.select("doc_id", "dl").orderBy("doc_id")
 
 
 def q_postings_roundtrip(spark, sf_dir):
     """B6/B10: pack→unpack round-trip of compressed posting blocks."""
     ix = get_index(spark, sf_dir)
-    return ix.decoded(["table", "merge"], ["text"]).select("term", "doc_id", "tf")
+    return (
+        ix.decoded(["table", "merge"], ["text"])
+        .select("term", "doc_id", "tf")
+        .orderBy("term", "doc_id")
+    )
 
 
 # ------------------------------------------------- training-data ops entries
@@ -283,67 +296,83 @@ def q_postings_roundtrip(spark, sf_dir):
 def q_dedup_exact(spark, sf_dir):
     from typesense_spark.ops.dedup import exact_duplicates
 
-    return exact_duplicates(_docs(spark, sf_dir), "text", min_count=1)
+    return exact_duplicates(_docs(spark, sf_dir), "text", min_count=1).orderBy(
+        "text_hash"
+    )
 
 
 def q_dedup_jaccard(spark, sf_dir):
     from typesense_spark.ops.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), "text", threshold_milli=20_000)
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), "text", threshold_milli=20_000
+    ).orderBy("doc_a", "doc_b")
 
 
 def q_dedup_minhash(spark, sf_dir):
     from typesense_spark.ops.dedup import lsh_candidate_pairs
 
-    return lsh_candidate_pairs(_docs(spark, sf_dir), "text", use_hash_ids=False)
+    return lsh_candidate_pairs(
+        _docs(spark, sf_dir), "text", use_hash_ids=False
+    ).orderBy("doc_a", "doc_b")
 
 
 def q_dedup_simhash(spark, sf_dir):
     from typesense_spark.ops.dedup import simhash_fingerprints
 
-    return simhash_fingerprints(_docs(spark, sf_dir), "text", use_hash_ids=False)
+    return simhash_fingerprints(
+        _docs(spark, sf_dir), "text", use_hash_ids=False
+    ).orderBy("doc_id")
 
 
 def q_embed_dup(spark, sf_dir):
     from typesense_spark.ops.similarity import cosine_dup_pairs
 
-    return cosine_dup_pairs(_emb(spark, sf_dir), threshold_micro=500_000)
+    return cosine_dup_pairs(_emb(spark, sf_dir), threshold_micro=500_000).orderBy(
+        "vec_a", "vec_b"
+    )
 
 
 def q_ann_topk(spark, sf_dir):
     from typesense_spark.ops.similarity import cosine_topk
 
-    return cosine_topk(_emb(spark, sf_dir), query_ids=[0, 1, 2], k=5)
+    return cosine_topk(_emb(spark, sf_dir), query_ids=[0, 1, 2], k=5).orderBy(
+        "query_id", "rank"
+    )
 
 
 def q_ann_ivf(spark, sf_dir):
     from typesense_spark.ops.similarity import ivf_topk
 
-    return ivf_topk(_emb(spark, sf_dir), query_ids=[0, 1, 2], k=5)
+    return ivf_topk(_emb(spark, sf_dir), query_ids=[0, 1, 2], k=5).orderBy(
+        "query_id", "rank"
+    )
 
 
 def q_langid(spark, sf_dir):
     from typesense_spark.ops.textstats import language_id
 
-    return language_id(_docs(spark, sf_dir), "text")
+    return language_id(_docs(spark, sf_dir), "text").orderBy("doc_id")
 
 
 def q_quality(spark, sf_dir):
     from typesense_spark.ops.textstats import quality_scores
 
-    return quality_scores(_docs(spark, sf_dir), "text")
+    return quality_scores(_docs(spark, sf_dir), "text").orderBy("doc_id")
 
 
 def q_token_counts(spark, sf_dir):
     from typesense_spark.ops.textstats import token_counts
 
-    return token_counts(_docs(spark, sf_dir), "text")
+    return token_counts(_docs(spark, sf_dir), "text").orderBy("doc_id")
 
 
 def q_fingerprint(spark, sf_dir):
     from typesense_spark.ops.textstats import fingerprints
 
-    return fingerprints(_docs(spark, sf_dir), "text", use_hash_ids=False)
+    return fingerprints(_docs(spark, sf_dir), "text", use_hash_ids=False).orderBy(
+        "doc_id"
+    )
 
 
 def q_events_window(spark, sf_dir):
@@ -365,6 +394,7 @@ def q_events_window(spark, sf_dir):
             F.count("*").alias("n_events"),
             F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("sum_value_cents"),
         )
+        .orderBy("window_start", "event_type")
     )
 
 
@@ -379,6 +409,7 @@ def q_events_json(spark, sf_dir):
         )
         .groupBy((F.col("k") % 10).alias("k_bucket"), "event_type")
         .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k"))
+        .orderBy("k_bucket", "event_type")
     )
 
 
@@ -402,7 +433,7 @@ def q_batch_queries(spark, sf_dir):
 
     return batch_search(
         get_index(spark, sf_dir), BATCH_QUERIES, fields=("text",), num_typos=0, k=10
-    )
+    ).orderBy("qid", "rank")
 
 
 QUERIES = {
@@ -507,20 +538,25 @@ def build_oracles() -> dict[str, str]:
         + " SELECT lang, doc_id, score_milli, CAST(rn AS BIGINT) AS group_rank FROM ("
         "SELECT d.lang, s.doc_id, s.score_milli, row_number() OVER ("
         "PARTITION BY d.lang ORDER BY s.score_milli DESC, s.doc_id DESC) AS rn "
-        "FROM scored s JOIN documents d USING (doc_id)) WHERE rn <= 2"
+        "FROM scored s JOIN documents d USING (doc_id)) WHERE rn <= 2 "
+        "ORDER BY lang, group_rank"
     )
     o["pagination"] = bm25_oracle(["merge"], per_page=5, page=2)
     o["wand_or"] = bm25_oracle(["merge", "window", "fast"], mode="or", per_page=20)
     o["term_dictionary"] = (
-        _PRELUDE + " SELECT term, df, cf, max_tf FROM tstat ORDER BY df DESC, term LIMIT 20"
+        _PRELUDE
+        + " SELECT term, df, CAST(cf AS BIGINT) AS cf, max_tf FROM tstat "
+        "ORDER BY df DESC, term LIMIT 20"
     )
-    o["doc_lengths"] = _PRELUDE + " SELECT doc_id, dl FROM dl"
+    o["doc_lengths"] = _PRELUDE + " SELECT doc_id, dl FROM dl ORDER BY doc_id"
     o["postings_roundtrip"] = (
-        _PRELUDE + " SELECT term, doc_id, tf FROM tf WHERE term IN ('table', 'merge')"
+        _PRELUDE
+        + " SELECT term, doc_id, tf FROM tf WHERE term IN ('table', 'merge') "
+        "ORDER BY term, doc_id"
     )
     o["dedup_exact"] = (
         "SELECT md5(text) AS text_hash, count(*) AS dup_count, "
-        "min(doc_id) AS keep_doc_id FROM documents GROUP BY 1"
+        "min(doc_id) AS keep_doc_id FROM documents GROUP BY 1 ORDER BY text_hash"
     )
     _sh = (
         ", sh AS (SELECT DISTINCT doc_id, shingle FROM ("
@@ -536,7 +572,8 @@ def build_oracles() -> dict[str, str]:
         "FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)"
         " SELECT doc_a, doc_b, CAST(floor(1000000.0 * i / (sa.sz + sb.sz - i) + 0.5) AS BIGINT) AS jac_milli "
         "FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b "
-        "WHERE CAST(floor(1000000.0 * i / (sa.sz + sb.sz - i) + 0.5) AS BIGINT) >= 20000"
+        "WHERE CAST(floor(1000000.0 * i / (sa.sz + sb.sz - i) + 0.5) AS BIGINT) >= 20000 "
+        "ORDER BY doc_a, doc_b"
     )
     perms_values = ", ".join(
         f"({i}, {a}::BIGINT, {b}::BIGINT)" for i, (a, b) in enumerate(MINHASH_PERMS)
@@ -552,7 +589,8 @@ def build_oracles() -> dict[str, str]:
         "string_agg(format('{:d}:{:d}', perm_id, minhash), ',' ORDER BY format('{:d}:{:d}', perm_id, minhash)) AS band_key "
         "FROM sig GROUP BY 1, 2)"
         " SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
-        "FROM bands a JOIN bands b USING (band_id, band_key) WHERE a.doc_id < b.doc_id"
+        "FROM bands a JOIN bands b USING (band_id, band_key) WHERE a.doc_id < b.doc_id "
+        "ORDER BY doc_a, doc_b"
     )
     o["dedup_simhash"] = (
         _PRELUDE
@@ -562,8 +600,8 @@ def build_oracles() -> dict[str, str]:
         "FROM tf JOIN tid USING (term))"
         f", votes AS (SELECT doc_id, bit, sum(CASE WHEN (h >> bit) & 1 = 1 THEN tf ELSE -tf END) AS v "
         f"FROM th CROSS JOIN range(0, {SIMHASH_BITS}) AS r(bit) GROUP BY 1, 2)"
-        " SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash "
-        "FROM votes GROUP BY 1"
+        " SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash "
+        "FROM votes GROUP BY 1 ORDER BY doc_id"
     )
     _qv = (
         "qv AS (SELECT vec_id, i AS dim, "
@@ -578,6 +616,7 @@ def build_oracles() -> dict[str, str]:
         " SELECT vec_a, vec_b, CAST(floor(CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) * 1000000 + 0.5) AS BIGINT) AS cos_micro"
         " FROM dots JOIN nrm na ON na.vec_id = vec_a JOIN nrm nb ON nb.vec_id = vec_b"
         " WHERE CAST(floor(CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) * 1000000 + 0.5) AS BIGINT) >= 500000"
+        " ORDER BY vec_a, vec_b"
     )
     o["ann_topk"] = (
         "WITH " + _qv + ", q AS (SELECT vec_id AS query_id, dim, v FROM qv WHERE vec_id IN (0, 1, 2)), "
@@ -588,7 +627,7 @@ def build_oracles() -> dict[str, str]:
         "SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id AS neighbor_id, "
         "CAST(floor(cos * 1000000 + 0.5) AS BIGINT) AS cos_micro FROM ("
         "SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn FROM cosd"
-        ") WHERE rn <= 5"
+        ") WHERE rn <= 5 ORDER BY query_id, rank"
     )
     o["ann_ivf"] = (
         "WITH " + _qv + ", lab AS (SELECT vec_id, label FROM embeddings), "
@@ -607,7 +646,7 @@ def build_oracles() -> dict[str, str]:
         "FROM dots JOIN nrm nq ON nq.vec_id = dots.query_id JOIN nrm ne ON ne.vec_id = dots.vec_id) "
         "SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id AS neighbor_id FROM ("
         "SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn FROM cosd"
-        ") WHERE rn <= 5"
+        ") WHERE rn <= 5 ORDER BY query_id, rank"
     )
     markers_values = ", ".join(
         f"('{lang}', '{w}')" for lang, ws in LANG_MARKERS.items() for w in ws
@@ -622,7 +661,7 @@ def build_oracles() -> dict[str, str]:
         ") WHERE rn = 1)"
         " SELECT d.doc_id, coalesce(b.cand_lang, 'und') AS pred_lang, "
         "CAST(coalesce(b.hits, 0) AS BIGINT) AS marker_hits "
-        "FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id"
+        "FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id ORDER BY d.doc_id"
     )
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
     o["quality"] = (
@@ -635,26 +674,26 @@ def build_oracles() -> dict[str, str]:
         "CAST(floor(1000000 * sum_term_len / n_tokens) AS BIGINT) AS avg_token_len_micro, "
         "CAST(floor(1000000 * n_stop / n_tokens) AS BIGINT) AS stopword_ratio_micro, "
         "CAST(floor(1000000 * n_alnum / n_chars) AS BIGINT) AS alnum_ratio_micro "
-        "FROM per_doc JOIN chars USING (doc_id)"
+        "FROM per_doc JOIN chars USING (doc_id) ORDER BY doc_id"
     )
     o["token_counts"] = (
         _PRELUDE
         + ", ws AS (SELECT doc_id, count(*) AS ws_tokens FROM tok GROUP BY 1)"
         " SELECT doc_id, ws_tokens, "
         "CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS BIGINT) AS bpe_tokens "
-        "FROM ws JOIN documents USING (doc_id)"
+        "FROM ws JOIN documents USING (doc_id) ORDER BY doc_id"
     )
     o["fingerprint"] = (
         _PRELUDE
         + ", tid AS (SELECT term, CAST(dense_rank() OVER (ORDER BY term) AS BIGINT) AS tid "
         "FROM (SELECT DISTINCT term FROM tok))"
-        f" SELECT doc_id, sum(((pos + 1) * tid) % {FP_MOD}) % {FP_MOD} AS fingerprint "
-        "FROM tok JOIN tid USING (term) GROUP BY 1"
+        f" SELECT doc_id, CAST(sum(((pos + 1) * tid) % {FP_MOD}) % {FP_MOD} AS BIGINT) AS fingerprint "
+        "FROM tok JOIN tid USING (term) GROUP BY 1 ORDER BY doc_id"
     )
     o["events_json"] = (
         "SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket, event_type, "
-        "count(*) AS n, sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k "
-        "FROM events GROUP BY 1, 2"
+        "count(*) AS n, CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k "
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
     )
     from typesense_spark.tokenizer import tokenize_terms
 
@@ -668,17 +707,17 @@ def build_oracles() -> dict[str, str]:
         + f", qset(qid, qidx, term, n_tokens) AS (VALUES {', '.join(qvals)})"
         + ", per_tok AS (SELECT qset.qid, qset.n_tokens, contrib.doc_id, qset.qidx, "
         "max(contrib.c) AS best FROM contrib JOIN qset USING (term) GROUP BY 1, 2, 3, 4)"
-        ", scored AS (SELECT qid, doc_id, sum(best) AS score_milli FROM per_tok "
+        ", scored AS (SELECT qid, doc_id, CAST(sum(best) AS BIGINT) AS score_milli FROM per_tok "
         "GROUP BY qid, n_tokens, doc_id HAVING count(*) = n_tokens)"
         " SELECT qid, CAST(rn AS BIGINT) AS rank, doc_id, score_milli FROM ("
         "SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score_milli DESC, doc_id DESC) AS rn "
-        "FROM scored) WHERE rn <= 10"
+        "FROM scored) WHERE rn <= 10 ORDER BY qid, rank"
     )
     o["events_window"] = (
         # floor() before the cast: DuckDB's epoch() keeps fractional
         # seconds and CAST(double AS BIGINT) rounds, shifting boundary rows
         "SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS window_start, event_type, "
-        "count(*) AS n_events, sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_value_cents "
-        "FROM events GROUP BY 1, 2"
+        "count(*) AS n_events, CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents "
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
     )
     return o
