@@ -92,3 +92,59 @@ def test_split_valid(spark):
         "empty content",
         "missing required field: repo",
     ]
+
+
+def test_spark_expand_routing_matches_driver_path(built_index):
+    """Forcing the Spark-join expansion route (threshold 0) must produce
+    byte-identical search results to the driver-dict default, including
+    typo, prefix, OR, drop-tokens, and batch queries — the auto-switch
+    is a pure physical-plan decision."""
+    from typesense_spark.search.batch import batch_search
+    from typesense_spark.search.engine import SearchRequest, search
+
+    reqs = [
+        dict(q="import return", num_typos=0),
+        dict(q="retur", num_typos=2),
+        dict(q="impor", num_typos=0, prefix_last=True),
+        dict(q="import zzznope", num_typos=0),  # drop-tokens fallback
+        dict(q="import merge0", num_typos=1, mode="or"),
+    ]
+    driver_hits = [
+        [tuple(r) for r in search(built_index, SearchRequest(fields=("content",), **kw)).hits.collect()]
+        for kw in reqs
+    ]
+    queries = [("q1", "import return"), ("q2", "def class")]
+    driver_batch = [
+        tuple(r) for r in batch_search(built_index, queries, fields=("content",)).collect()
+    ]
+    built_index.expand_collect_threshold = 0
+    try:
+        spark_hits = [
+            [tuple(r) for r in search(built_index, SearchRequest(fields=("content",), **kw)).hits.collect()]
+            for kw in reqs
+        ]
+        spark_batch = [
+            tuple(r)
+            for r in batch_search(built_index, queries, fields=("content",)).collect()
+        ]
+    finally:
+        del built_index.expand_collect_threshold
+    assert spark_hits == driver_hits
+    assert sorted(spark_batch) == sorted(driver_batch)
+
+
+def test_expand_query_spark_matches_expand_query(built_index):
+    from pyspark.sql import functions as F
+
+    from typesense_spark.search.expand import expand_query, expand_query_spark
+
+    terms_df = (
+        built_index.terms.where(F.col("field") == "content")
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+    )
+    term_df = {r["term"]: r["df"] for r in terms_df.collect()}
+    tokens = ["impor", "retur", "zygo"]
+    assert expand_query_spark(terms_df, tokens, 2, True) == expand_query(
+        tokens, term_df, 2, True
+    )

@@ -24,8 +24,13 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from typesense_spark.index.build import Index
-from typesense_spark.search.engine import _get_term_df, parse_query
-from typesense_spark.search.expand import expand_query
+from typesense_spark.search.engine import (
+    _get_term_df,
+    _terms_agg,
+    _use_spark_expand,
+    parse_query,
+)
+from typesense_spark.search.expand import expand_query, expand_query_spark
 
 
 def batch_search(
@@ -38,11 +43,20 @@ def batch_search(
     k: int = 10,
 ) -> DataFrame:
     """[(qid, q)] → (qid, rank, doc_id, score_milli), rank ≤ k per qid."""
-    term_df = _get_term_df(index, fields)
+    # same expansion routing as engine.search: above the dictionary
+    # threshold, candidates come from a Spark join (bounded collect),
+    # never a full-dictionary collect
+    spark_expand = _use_spark_expand(index, fields)
+    term_df = None if spark_expand else _get_term_df(index, fields)
     rows: list[tuple[str, int, str, int]] = []
     for qid, q in queries:
         tokens, _ = parse_query(q)
-        cand = expand_query(tokens, term_df, num_typos, prefix_last)
+        if spark_expand:
+            cand = expand_query_spark(
+                _terms_agg(index, fields), tokens, num_typos, prefix_last
+            )
+        else:
+            cand = expand_query(tokens, term_df, num_typos, prefix_last)
         if mode == "and" and any(not cand[t] for t in tokens):
             continue  # unsatisfiable AND query → no rows
         for i, tok in enumerate(tokens):

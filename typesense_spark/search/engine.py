@@ -34,11 +34,15 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from typesense_spark.index.build import Index
-from typesense_spark.search.expand import expand_query
+from typesense_spark.search.expand import expand_query, expand_query_spark
 from typesense_spark.tokenizer import tokenize_terms
 
 DEFAULT_PER_PAGE = 10  # reference: src/core_api.cpp:351
 MAX_HITS = 250  # reference: src/core_api.cpp:324-329
+# above this many distinct terms the driver-dict expansion path would
+# collect a dictionary that belongs on executors (SCALE.md: 5e8-5e9
+# terms at 100 TB) — auto-route through expand_query_spark instead
+EXPAND_COLLECT_THRESHOLD = 2_000_000
 
 
 @dataclass
@@ -111,12 +115,40 @@ def parse_query(q: str) -> tuple[list[str], list[str]]:
     return include, exclude
 
 
+def _terms_agg(index: Index, fields: tuple[str, ...]) -> DataFrame:
+    """Per-term df aggregated over the queried fields (stays distributed)."""
+    return (
+        index.terms.where(F.col("field").isin(list(fields)))
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+    )
+
+
+def _n_terms(index: Index, fields: tuple[str, ...]) -> int:
+    """Dictionary size for the queried fields (cached per field set) —
+    the routing signal between driver-dict and Spark-join expansion."""
+    cache = getattr(index, "_n_terms_cache", None)
+    if cache is None:
+        cache = {}
+        index._n_terms_cache = cache
+    key = tuple(sorted(fields))
+    if key not in cache:
+        cache[key] = _terms_agg(index, fields).count()
+    return cache[key]
+
+
+def _use_spark_expand(index: Index, fields: tuple[str, ...]) -> bool:
+    threshold = getattr(index, "expand_collect_threshold", EXPAND_COLLECT_THRESHOLD)
+    return _n_terms(index, fields) > threshold
+
+
 def _get_term_df(index: Index, fields: tuple[str, ...]) -> dict[str, int]:
     """Driver-side term dictionary {term: df} (cached per field set).
 
-    Scale note: for dictionaries too large to collect, use
-    ``expand.expand_terms_spark`` against the terms DataFrame instead;
-    the rest of the plan is unchanged.
+    Only reachable below EXPAND_COLLECT_THRESHOLD; above it ``search()``
+    routes expansion through ``expand.expand_query_spark`` (an
+    F.levenshtein join against the distributed terms table), so no
+    full-dictionary ``collect()`` exists on the scale path.
     """
     cache = getattr(index, "_term_df_cache", None)
     if cache is None:
@@ -124,12 +156,7 @@ def _get_term_df(index: Index, fields: tuple[str, ...]) -> dict[str, int]:
         index._term_df_cache = cache
     key = tuple(sorted(fields))
     if key not in cache:
-        rows = (
-            index.terms.where(F.col("field").isin(list(fields)))
-            .groupBy("term")
-            .agg(F.sum("df").alias("df"))
-            .collect()
-        )
+        rows = _terms_agg(index, fields).collect()
         cache[key] = {r["term"]: int(r["df"]) for r in rows}
     return cache[key]
 
@@ -216,12 +243,26 @@ def search(index: Index, req: SearchRequest) -> SearchResult:
     tokens, excludes = parse_query(req.q)
     docs = index.docs
 
+    # WAND soundness: the pruning threshold tau is computed over the
+    # UNFILTERED corpus, so pruning is only exact when nothing narrows
+    # the candidate set afterwards and the requested page fits in the
+    # prune budget — otherwise fall back to the exhaustive plan
+    # (ADVICE r1: filtered top-k docs can score below tau)
+    use_wand = (
+        req.use_wand
+        and req.mode == "or"
+        and not (req.filter_expr or req.hidden or excludes)
+        and req.page * req.per_page <= MAX_HITS
+    )
+
     if tokens == ["*"]:
         # Q10 wildcard: doc universe, scored 0, attribute-sorted
         matched = docs.select("doc_id", F.lit(0).cast("long").alias("score_milli"))
         attempts = [["*"]]
+        all_cands: dict[str, list[tuple[str, int]]] = {}
     else:
-        term_df = _get_term_df(index, req.fields)
+        spark_expand = _use_spark_expand(index, req.fields)
+        term_df = None if spark_expand else _get_term_df(index, req.fields)
         # Q16 drop-tokens driver loop (reference src/index.cpp:1757-1783):
         # for drop count d = 1..n-1, keep tokens[:n-d] while d <= n//2,
         # else tokens[d - n//2:]; results accumulate across attempts
@@ -233,14 +274,26 @@ def search(index: Index, req: SearchRequest) -> SearchResult:
         ]
         matched = None
         attempts = []
+        all_cands = {}
         for attempt in plan:
-            cand = expand_query(attempt, term_df, req.num_typos, req.prefix_last)
+            if spark_expand:
+                cand = expand_query_spark(
+                    _terms_agg(index, req.fields), attempt, req.num_typos, req.prefix_last
+                )
+            else:
+                cand = expand_query(attempt, term_df, req.num_typos, req.prefix_last)
             for tok, alts in (req.synonyms or {}).items():
                 if tok in cand:
-                    extra = [(a, 0) for a in alts if a in term_df]
+                    # driver path can cheaply drop alternates absent from
+                    # the dictionary; the Spark path keeps them (absent
+                    # terms decode to zero postings — same result)
+                    extra = [
+                        (a, 0) for a in alts if term_df is None or a in term_df
+                    ]
                     cand[tok] = sorted(dict(cand[tok] + extra).items())
+            all_cands.update(cand)
             scored = _score_tokens(
-                index, attempt, cand, req.fields, req.mode, req.use_wand
+                index, attempt, cand, req.fields, req.mode, use_wand
             )
             attempts.append(attempt)
             if scored is not None:
@@ -306,23 +359,32 @@ def search(index: Index, req: SearchRequest) -> SearchResult:
     if req.rerank_proximity and tokens != ["*"]:
         from typesense_spark.search.match import proximity_rescore
 
+        # a query token is "in the dictionary" iff its expansion yielded
+        # a cost-0 exact candidate — no driver dictionary needed
         prox_terms = sorted(
-            {t for attempt in attempts for t in attempt if t in _get_term_df(index, req.fields)}
+            {
+                t
+                for attempt in attempts
+                for t in attempt
+                if any(c == t for c, _ in all_cands.get(t, []))
+            }
         )
         prox = proximity_rescore(index, matched, prox_terms, list(req.fields))
         matched = matched.join(prox, "doc_id", "left").withColumn(
             "match_score", F.coalesce("match_score", F.lit(0)).cast("long")
         )
 
-    # ordering: explicit sort_by (wildcard path) else score DESC,
-    # doc_id DESC (reference tie-break, topster.h:254-257);
-    # proximity re-rank leads when enabled
-    order = [
+    # ordering: proximity re-rank leads when enabled (the reference's
+    # Match score is the PRIMARY relevance key, match_score.h:49-57),
+    # then explicit sort_by, then score DESC, doc_id DESC (reference
+    # tie-break, topster.h:254-257)
+    order = []
+    if req.rerank_proximity and tokens != ["*"]:
+        order.append(F.col("match_score").desc())
+    order += [
         (F.col(c).desc() if d.lower() == "desc" else F.col(c).asc())
         for c, d in req.sort_by
     ]
-    if req.rerank_proximity and tokens != ["*"]:
-        order.append(F.col("match_score").desc())
     order += [F.col("score_milli").desc(), F.col("doc_id").desc()]
 
     hydrated = matched.join(docs, "doc_id") if (req.sort_by or req.include_fields or req.group_by) else matched

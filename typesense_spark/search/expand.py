@@ -112,12 +112,23 @@ def expand_terms_spark(
     """Scale path: the same expansion as a Spark plan over the terms table.
 
     Returns (term, cost). ``F.levenshtein`` with a threshold is
-    Catalyst-optimized; the rank caps use a per-cost window.
+    Catalyst-optimized; the rank caps use a per-cost window. The length
+    pre-filter (|len(term) - len(token)| ≤ max_cost is a Levenshtein
+    lower bound) lets codegen skip the DP for most of the dictionary.
+    The per-cost window only ever sees the ≤max_cost survivors, so the
+    3-partition shuffle it implies is over a tiny set, not the dictionary.
     """
     max_cost = bounded_typo_cost(token, num_typos)
-    cand = terms_df.select(
-        "term", "df", F.levenshtein(F.col("term"), F.lit(token)).alias("cost")
-    ).where(F.col("cost") <= max_cost)
+    cand = (
+        terms_df.where(
+            (F.length("term") >= len(token) - max_cost)
+            & (F.length("term") <= len(token) + max_cost)
+        )
+        .select(
+            "term", "df", F.levenshtein(F.col("term"), F.lit(token)).alias("cost")
+        )
+        .where(F.col("cost") <= max_cost)
+    )
     w = Window.partitionBy("cost").orderBy(F.col("df").desc(), F.col("term"))
     typo = (
         cand.withColumn("rn", F.row_number().over(w))
@@ -134,3 +145,34 @@ def expand_terms_spark(
         .select("term", F.lit(0).alias("cost"))
     )
     return typo.unionByName(pref).groupBy("term").agg(F.min("cost").alias("cost"))
+
+
+def expand_query_spark(
+    terms_df: DataFrame,
+    tokens: list[str],
+    num_typos: int = 2,
+    prefix_last: bool = True,
+) -> dict[str, list[tuple[str, int]]]:
+    """Same contract as :func:`expand_query`, but the dictionary stays
+    distributed: every token's expansion is one branch of a single
+    union plan, and only the BOUNDED candidate sets are collected
+    (≤ num_typos·MAX_CANDIDATES + MAX_CANDIDATES_PREFIX + 1 per token —
+    a handful of rows), never the dictionary itself. This is the
+    default query path once the dictionary exceeds the driver-collect
+    threshold (engine._get_term_df scale note)."""
+    branches = [
+        expand_terms_spark(
+            terms_df, tok, num_typos, prefix=prefix_last and i == len(tokens) - 1
+        ).select(F.lit(i).alias("qidx"), "term", "cost")
+        for i, tok in enumerate(tokens)
+    ]
+    plan = branches[0]
+    for b in branches[1:]:
+        plan = plan.unionByName(b)
+    cand: dict[str, dict[str, int]] = {tok: {} for tok in tokens}
+    for r in plan.collect():
+        tok = tokens[r["qidx"]]
+        t, c = r["term"], int(r["cost"])
+        if t not in cand[tok] or c < cand[tok][t]:
+            cand[tok][t] = c
+    return {tok: sorted(m.items()) for tok, m in cand.items()}
