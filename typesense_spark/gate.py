@@ -196,6 +196,25 @@ def q_prefix(spark, sf_dir):
     return _hits(_search(spark, sf_dir, q="wind", num_typos=0, prefix_last=True))
 
 
+def q_synonyms(spark, sf_dir):
+    """Q2: multi-token synonym window — the one-way rule
+    'merge batch' → 'window' rewrites the query to a variant vector,
+    searched like the original and merged by max score
+    (reference src/collection.cpp:1929-2064). drop_tokens_threshold=0
+    disables the fallback so the oracle is exactly two variants."""
+    from typesense_spark.search.synonyms import SynonymRule, SynonymStore
+
+    store = SynonymStore(
+        [SynonymRule("mb-window", ("merge", "batch"), (("window",),))]
+    )
+    return _hits(
+        _search(
+            spark, sf_dir, q="merge batch", num_typos=0,
+            drop_tokens_threshold=0, synonym_store=store,
+        )
+    )
+
+
 def q_drop_tokens(spark, sf_dir):
     """Q16: drop-tokens fallback ('zzznope' matches nothing)."""
     return _hits(_search(spark, sf_dir, q="merge zzznope", num_typos=0))
@@ -444,6 +463,7 @@ QUERIES = {
     "typo": q_typo,
     "prefix": q_prefix,
     "drop_tokens": q_drop_tokens,
+    "synonyms": q_synonyms,
     "filter": q_filter,
     "wildcard": q_wildcard,
     "facet_counts": q_facet_counts,
@@ -499,6 +519,20 @@ def build_oracles() -> dict[str, str]:
     # drop-tokens: full query has 0 hits (zzznope absent) → engine falls
     # back to ['merge']; oracle is the reduced query directly
     o["drop_tokens"] = bm25_oracle(["merge"])
+    # synonyms: two variant vectors — AND('merge','batch') and the
+    # rewritten AND('window') — merged per doc by max score
+    o["synonyms"] = (
+        _PRELUDE
+        + ", qset(vid, qidx, term, n_tokens) AS (VALUES "
+        "(0, 0, 'merge', 2), (0, 1, 'batch', 2), (1, 0, 'window', 1))"
+        ", per_tok AS (SELECT qset.vid, qset.n_tokens, contrib.doc_id, qset.qidx, "
+        "max(contrib.c) AS best FROM contrib JOIN qset USING (term) GROUP BY 1, 2, 3, 4)"
+        ", vscored AS (SELECT vid, doc_id, CAST(sum(best) AS BIGINT) AS s FROM per_tok "
+        "GROUP BY vid, n_tokens, doc_id HAVING count(*) = n_tokens)"
+        ", scored AS (SELECT doc_id, CAST(max(s) AS BIGINT) AS score_milli "
+        "FROM vscored GROUP BY 1)"
+        + _hits_sql()
+    )
     o["filter"] = (
         _PRELUDE
         + _cand_sql(["merge"], 0, False)

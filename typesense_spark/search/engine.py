@@ -65,10 +65,16 @@ class SearchRequest:
     include_fields: tuple[str, ...] = ()
     use_wand: bool = False
     # Q2 single-token synonyms: {token: [alternates]} — alternates join
-    # the token's candidate set at cost 0 (reference re-searches variant
-    # token vectors and merges topsters, src/collection.cpp:1929-2064;
-    # multi-token synonym windows are out of scope v1)
+    # the token's candidate set at cost 0 (fast path for the common
+    # 1→1 case; full window semantics below)
     synonyms: dict = dc_field(default_factory=dict)
+    # Q2 multi-token synonym windows: a SynonymStore of one-way /
+    # multi-way rules; the query is rewritten to variant token vectors
+    # (synonyms.synonym_reduction), each searched like the original and
+    # merged by max score (reference src/collection.cpp:1929-2064 +
+    # src/index.cpp:1443-1487). Pinned deviation: drop-tokens fallback
+    # applies to the original vector only, not to variants.
+    synonym_store: object | None = None
     # Q20 curation: pinned {doc_id: 1-based position} force-included at
     # fixed positions; hidden doc_ids excluded (reference overrides,
     # src/collection.cpp:427-493, splice src/collection.cpp:897-922)
@@ -275,13 +281,25 @@ def search(index: Index, req: SearchRequest) -> SearchResult:
         matched = None
         attempts = []
         all_cands = {}
-        for attempt in plan:
+
+        def _expand(attempt: list[str]) -> dict[str, list[tuple[str, int]]]:
             if spark_expand:
-                cand = expand_query_spark(
+                return expand_query_spark(
                     _terms_agg(index, req.fields), attempt, req.num_typos, req.prefix_last
                 )
-            else:
-                cand = expand_query(attempt, term_df, req.num_typos, req.prefix_last)
+            return expand_query(attempt, term_df, req.num_typos, req.prefix_last)
+
+        def _merge(acc: DataFrame | None, scored: DataFrame) -> DataFrame:
+            if acc is None:
+                return scored
+            return (
+                acc.unionByName(scored)
+                .groupBy("doc_id")
+                .agg(F.max("score_milli").alias("score_milli"))
+            )
+
+        for attempt in plan:
+            cand = _expand(attempt)
             for tok, alts in (req.synonyms or {}).items():
                 if tok in cand:
                     # driver path can cheaply drop alternates absent from
@@ -297,13 +315,7 @@ def search(index: Index, req: SearchRequest) -> SearchResult:
             )
             attempts.append(attempt)
             if scored is not None:
-                matched = (
-                    scored
-                    if matched is None
-                    else matched.unionByName(scored)
-                    .groupBy("doc_id")
-                    .agg(F.max("score_milli").alias("score_milli"))
-                )
+                matched = _merge(matched, scored)
                 if attempt is plan[-1]:
                     break  # no further fallback — skip the count job
                 if (
@@ -311,6 +323,23 @@ def search(index: Index, req: SearchRequest) -> SearchResult:
                     >= req.drop_tokens_threshold
                 ):
                     break
+
+        # Q2 synonym window variants: searched UNCONDITIONALLY (not part
+        # of the fallback plan — the reference always runs them), merged
+        # by max score like drop-token attempts
+        if req.synonym_store is not None:
+            from typesense_spark.search.synonyms import synonym_reduction
+
+            for vtoks in synonym_reduction(tokens, req.synonym_store):
+                vcand = _expand(vtoks)
+                all_cands.update(vcand)
+                vscored = _score_tokens(
+                    index, vtoks, vcand, req.fields, req.mode, use_wand
+                )
+                attempts.append(vtoks)
+                if vscored is not None:
+                    matched = _merge(matched, vscored)
+
         if matched is None:
             matched = index.spark.createDataFrame(
                 [], schema="doc_id long, score_milli long"
