@@ -1,0 +1,120 @@
+"""Q20 override/curation rules — resolution semantics ported from the
+reference's populate_overrides + test/collection_override_test.cpp
+(ExcludeIncludeExactQueryMatch, IncludeExcludeHitsQuery themes), plus
+end-to-end search integration through the positional splice."""
+
+from typesense_spark.search.curation import OverrideRule, OverrideStore
+
+
+def test_exact_match_fires_only_on_equal_query():
+    store = OverrideStore(
+        [OverrideRule("exclude-rule", "of", "exact", drop_hits=(4, 11))]
+    )
+    pinned, hidden = store.resolve("of")
+    assert pinned == {} and hidden == (4, 11)
+    pinned, hidden = store.resolve("of mice")  # not exact → no fire
+    assert pinned == {} and hidden == ()
+    # query is lowercased before matching (reference tolowercase)
+    _, hidden = store.resolve("OF")
+    assert hidden == (4, 11)
+
+
+def test_contains_match_fires_on_substring():
+    # collection_override_test.cpp contains-include case: includes at
+    # position 1 and a way-out position
+    store = OverrideStore(
+        [
+            OverrideRule(
+                "include-rule", "will", "contains", add_hits=((0, 1), (1, 7))
+            )
+        ]
+    )
+    pinned, hidden = store.resolve("will smith")
+    assert pinned == {0: 1, 1: 7} and hidden == ()
+    pinned, _ = store.resolve("smith")
+    assert pinned == {}
+
+
+def test_drops_take_precedence_over_adds():
+    # reference: excluded_set is checked before include_ids insert
+    store = OverrideStore(
+        [
+            OverrideRule("a-drop", "q", "exact", drop_hits=(7,)),
+            OverrideRule("b-add", "q", "exact", add_hits=((7, 1), (8, 2))),
+        ]
+    )
+    pinned, hidden = store.resolve("q")
+    assert pinned == {8: 2} and hidden == (7,)
+
+
+def test_explicit_pins_and_hides_take_precedence():
+    store = OverrideStore(
+        [OverrideRule("r", "q", "exact", add_hits=((5, 1),), drop_hits=(6,))]
+    )
+    pinned, hidden = store.resolve("q", pinned={5: 3}, hidden=(9,))
+    assert pinned == {5: 3}  # explicit position wins
+    assert set(hidden) == {9, 6}
+    # explicit hidden also blocks rule adds
+    pinned, hidden = store.resolve("q", hidden=(5,))
+    assert pinned == {} and set(hidden) == {5, 6}
+
+
+def test_position_collision_bumps_to_next_free_slot():
+    store = OverrideStore(
+        [
+            OverrideRule("a", "q", "exact", add_hits=((1, 1),)),
+            OverrideRule("b", "q", "exact", add_hits=((2, 1),)),
+        ]
+    )
+    pinned, _ = store.resolve("q")
+    assert pinned == {1: 1, 2: 2}
+
+
+def test_upsert_and_remove():
+    store = OverrideStore([OverrideRule("r1", "q", "exact", drop_hits=(1,))])
+    store.add(OverrideRule("r1", "q", "exact", drop_hits=(2,)))  # upsert
+    assert len(store) == 1
+    assert store.resolve("q")[1] == (2,)
+    store.remove("r1")
+    assert len(store) == 0 and store.resolve("q") == ({}, ())
+
+
+def test_search_with_override_store(built_index):
+    """End-to-end: a contains rule pins one doc to position 1 and hides
+    the organic top hit; pinned-beyond-results appends at the end."""
+    from typesense_spark.search import OverrideRule, OverrideStore, SearchRequest, search
+
+    base = search(
+        built_index, SearchRequest(q="import return", fields=("content",), num_typos=0)
+    )
+    base_rows = base.hits.collect()
+    organic_top = base_rows[0]["doc_id"]
+    some_low = base_rows[3]["doc_id"]
+    store = OverrideStore(
+        [
+            OverrideRule(
+                "boost", "import", "contains",
+                add_hits=((some_low, 1),), drop_hits=(organic_top,),
+            )
+        ]
+    )
+    res = search(
+        built_index,
+        SearchRequest(
+            q="import return", fields=("content",), num_typos=0, override_store=store
+        ),
+    )
+    rows = res.hits.collect()
+    assert rows[0]["doc_id"] == some_low
+    assert all(r["doc_id"] != organic_top for r in rows)
+    # exact rule for a different query must not fire
+    store2 = OverrideStore(
+        [OverrideRule("other", "zzz", "exact", drop_hits=(organic_top,))]
+    )
+    res2 = search(
+        built_index,
+        SearchRequest(
+            q="import return", fields=("content",), num_typos=0, override_store=store2
+        ),
+    )
+    assert [tuple(r) for r in res2.hits.collect()] == [tuple(r) for r in base_rows]

@@ -160,3 +160,50 @@ def test_unicode_corpus_end_to_end(spark):
     assert "lowenbrau" in terms and "cafe" in terms and "muller" in terms
     res = search(ix, SearchRequest(q="löwenbräu", fields=("content",), num_typos=0))
     assert {r["doc_id"] for r in res.hits.collect()} == {1, 2}
+
+
+def test_query_by_weights_scales_field_scores(spark):
+    """Q12: with weights (2,1) the doc score is 2*best(text) + 1*best(src);
+    swapping weights must swap the ranking of docs that win on different
+    fields."""
+    from typesense_spark.index import build_index
+    from typesense_spark.search import SearchRequest, search
+
+    rows = [
+        (1, "alpha alpha alpha", "beta"),  # strong in f1
+        (2, "beta", "alpha alpha alpha"),  # strong in f2 (alpha only in f2)
+        (3, "alpha beta", "alpha beta"),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, f1 string, f2 string")
+    ix = build_index(spark, df, fields=["f1", "f2"], id_col="doc_id", num_buckets=2)
+
+    def scores(weights):
+        res = search(
+            ix,
+            SearchRequest(
+                q="alpha", fields=("f1", "f2"), num_typos=0,
+                drop_tokens_threshold=0, query_by_weights=weights,
+            ),
+        )
+        return {r["doc_id"]: r["score_milli"] for r in res.matched.collect()}
+
+    s_f1 = scores((10, 1))
+    s_f2 = scores((1, 10))
+    assert set(s_f1) == {1, 2, 3}
+    # doc 1 (f1-heavy) beats doc 2 under f1-heavy weights and vice versa
+    assert s_f1[1] > s_f1[2] and s_f2[2] > s_f2[1]
+    # weighted sum is exact long arithmetic: weight 1 on a single field
+    # equals the unweighted path for single-field docs
+    un = search(
+        ix, SearchRequest(q="alpha", fields=("f1",), num_typos=0, drop_tokens_threshold=0)
+    )
+    w1 = search(
+        ix,
+        SearchRequest(
+            q="alpha", fields=("f1",), num_typos=0, drop_tokens_threshold=0,
+            query_by_weights=(1,),
+        ),
+    )
+    assert {tuple(r) for r in un.matched.collect()} == {
+        tuple(r) for r in w1.matched.collect()
+    }

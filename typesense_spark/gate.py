@@ -45,6 +45,18 @@ def get_index(spark: SparkSession, sf_dir: str):
     return _INDEX_CACHE[key]
 
 
+def get_index2(spark: SparkSession, sf_dir: str):
+    """Two-field index (text + source) for the Q12 weighted-fields gate."""
+    key = f"2f:{id(spark)}:{sf_dir}"
+    if key not in _INDEX_CACHE:
+        from typesense_spark.index import build_index
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        kw = dict(GATE_BUILD, fields=["text", "source"])
+        _INDEX_CACHE[key] = build_index(spark, docs, **kw)
+    return _INDEX_CACHE[key]
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -73,6 +85,38 @@ tstat AS (SELECT term, count(*) AS df, sum(tf) AS cf, max(tf) AS max_tf FROM tf 
 contrib AS (
   SELECT tf.doc_id, tf.term, {contrib} AS c
   FROM tf JOIN dl USING (doc_id) JOIN tstat USING (term) CROSS JOIN stats
+)
+""".replace(
+    "{contrib}",
+    scoring.duckdb_contrib_sql("tf.tf", "dl.dl", "tstat.df", "stats.n", "stats.avgdl"),
+)
+
+
+# two-field variant (text + source) for the Q12 weighted-fields gate:
+# per-FIELD tf/dl/stats/df, exactly like the engine's per-field build
+_PRELUDE2 = """
+WITH rawtok AS (
+  SELECT doc_id, fld, i AS pos,
+         regexp_replace(lower(l[i + 1]), '[^a-z0-9]', '', 'g') AS term
+  FROM (
+    SELECT doc_id, 'text' AS fld, string_split_regex(text, '[ \n]') AS l FROM documents
+    UNION ALL
+    SELECT doc_id, 'source' AS fld, string_split_regex(source, '[ \n]') AS l FROM documents
+  )
+  CROSS JOIN range(0, 8192) AS r(i)
+  WHERE i < len(l)
+),
+tok AS (SELECT doc_id, fld, pos, term FROM rawtok WHERE term <> ''),
+tf AS (SELECT doc_id, fld, term, count(*) AS tf FROM tok GROUP BY 1, 2, 3),
+dl AS (SELECT doc_id, fld, count(*) AS dl FROM tok GROUP BY 1, 2),
+stats AS (SELECT fld, count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl GROUP BY 1),
+tstat AS (SELECT fld, term, count(*) AS df FROM tf GROUP BY 1, 2),
+contrib AS (
+  SELECT tf.doc_id, tf.fld, tf.term, {contrib} AS c
+  FROM tf
+  JOIN dl ON dl.doc_id = tf.doc_id AND dl.fld = tf.fld
+  JOIN tstat ON tstat.term = tf.term AND tstat.fld = tf.fld
+  JOIN stats ON stats.fld = tf.fld
 )
 """.replace(
     "{contrib}",
@@ -224,6 +268,24 @@ def q_filter(spark, sf_dir):
     """Q9: attribute filter conjunction with the text query."""
     return _hits(
         _search(spark, sf_dir, q="merge", num_typos=0, filter_expr="lang = 'en' AND n_chars >= 200")
+    )
+
+
+def q_weighted_fields(spark, sf_dir):
+    """Q12 query_by_weights: two-field AND search where the doc score is
+    the field-wise weighted sum of per-token best contributions
+    (reference default weights N..1, src/collection.cpp:593-597)."""
+    from typesense_spark.search import SearchRequest, search
+
+    ix = get_index2(spark, sf_dir)
+    return _hits(
+        search(
+            ix,
+            SearchRequest(
+                q="merge src7", fields=("text", "source"), num_typos=0,
+                mode="and", drop_tokens_threshold=0, query_by_weights=(2, 1),
+            ),
+        )
     )
 
 
@@ -465,6 +527,7 @@ QUERIES = {
     "drop_tokens": q_drop_tokens,
     "synonyms": q_synonyms,
     "filter": q_filter,
+    "weighted_fields": q_weighted_fields,
     "wildcard": q_wildcard,
     "facet_counts": q_facet_counts,
     "facet_stats": q_facet_stats,
@@ -540,6 +603,16 @@ def build_oracles() -> dict[str, str]:
         + ", scored2 AS (SELECT s.* FROM scored s JOIN documents d USING (doc_id) "
         "WHERE d.lang = 'en' AND d.n_chars >= 200)"
         + _hits_sql().replace("FROM scored)", "FROM scored2)")
+    )
+    o["weighted_fields"] = (
+        _PRELUDE2
+        + ", qset(qidx, term) AS (VALUES (0, 'merge'), (1, 'src7'))"
+        ", wmap(fld, w) AS (VALUES ('text', 2), ('source', 1))"
+        ", per_ft AS (SELECT contrib.doc_id, contrib.fld, qset.qidx, max(contrib.c) AS best "
+        "FROM contrib JOIN qset USING (term) GROUP BY 1, 2, 3)"
+        ", scored AS (SELECT doc_id, CAST(sum(w * best) AS BIGINT) AS score_milli "
+        "FROM per_ft JOIN wmap USING (fld) GROUP BY 1 HAVING count(DISTINCT qidx) = 2)"
+        + _hits_sql()
     )
     o["wildcard"] = (
         "SELECT CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id DESC) AS BIGINT) AS rank, "

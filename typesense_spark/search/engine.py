@@ -64,6 +64,11 @@ class SearchRequest:
     sort_by: tuple[tuple[str, str], ...] = ()  # [(col, 'asc'|'desc')]; wildcard
     include_fields: tuple[str, ...] = ()
     use_wand: bool = False
+    # Q12 per-field weights, parallel to `fields`. Empty = the pinned
+    # unweighted max-over-fields aggregation. Pass the reference's
+    # default explicitly (N..1 by field order: (N, ..., 1)) to match
+    # its multi-field ranking (src/collection.cpp:593-597).
+    query_by_weights: tuple[int, ...] = ()
     # Q2 single-token synonyms: {token: [alternates]} — alternates join
     # the token's candidate set at cost 0 (fast path for the common
     # 1→1 case; full window semantics below)
@@ -80,6 +85,11 @@ class SearchRequest:
     # src/collection.cpp:427-493, splice src/collection.cpp:897-922)
     pinned: dict = dc_field(default_factory=dict)
     hidden: tuple = ()
+    # Q20 stored override rules (curation.OverrideStore): matched
+    # against the query string (exact|contains) and resolved into
+    # pinned/hidden before the search; explicit pinned/hidden above
+    # take precedence (reference populate_overrides)
+    override_store: object | None = None
     # Q11 second-stage proximity re-rank: order becomes
     # (match_score DESC, score_milli DESC, doc_id DESC) — the packed
     # proximity score is the reference's primary relevance
@@ -174,6 +184,7 @@ def _score_tokens(
     fields: tuple[str, ...],
     mode: str,
     use_wand: bool = False,
+    weights: tuple[int, ...] = (),
 ) -> DataFrame | None:
     """Candidate postings → (doc_id, score_milli). None if no candidates."""
     pairs = [
@@ -191,17 +202,38 @@ def _score_tokens(
     else:
         decoded = index.decoded(all_terms, list(fields))
     tmap = index.spark.createDataFrame(pairs, schema="qidx int, term string")
-    per_tok = (
-        decoded.join(F.broadcast(tmap), "term")
-        # multi-field: a token's score for a doc is its best field's best
-        # candidate (reference aggregates best per-field scores,
-        # src/index.cpp:1495-1593; pinned: max over fields×candidates)
-        .groupBy("doc_id", "qidx")
-        .agg(F.max("contrib").alias("tok_score"))
-    )
-    scored = per_tok.groupBy("doc_id").agg(
-        F.sum("tok_score").alias("score_milli"), F.count("*").alias("nmatch")
-    )
+    joined = decoded.join(F.broadcast(tmap), "term")
+    if weights:
+        # Q12 query_by_weights: per-field best candidate per token, then
+        # the doc score sums field-wise WEIGHTED bests (the reference
+        # sums weighted per-field scores, src/index.cpp:1543-1560;
+        # default weights are N..1 by field order,
+        # src/collection.cpp:593-597). A token counts as matched if any
+        # field has it (distinct qidx), like the unweighted path.
+        wmap = F.create_map(
+            *[x for f, w in zip(fields, weights) for x in (F.lit(f), F.lit(int(w)))]
+        )
+        per_ft = joined.groupBy("doc_id", "field", "qidx").agg(
+            F.max("contrib").alias("best")
+        )
+        scored = (
+            per_ft.withColumn("ws", F.element_at(wmap, F.col("field")) * F.col("best"))
+            .groupBy("doc_id")
+            .agg(
+                F.sum("ws").alias("score_milli"),
+                F.countDistinct("qidx").alias("nmatch"),
+            )
+        )
+    else:
+        per_tok = (
+            # multi-field: a token's score for a doc is its best field's
+            # best candidate (reference aggregates best per-field scores,
+            # src/index.cpp:1495-1593; pinned: max over fields×candidates)
+            joined.groupBy("doc_id", "qidx").agg(F.max("contrib").alias("tok_score"))
+        )
+        scored = per_tok.groupBy("doc_id").agg(
+            F.sum("tok_score").alias("score_milli"), F.count("*").alias("nmatch")
+        )
     if mode == "and":
         scored = scored.where(F.col("nmatch") == len(tokens))
     return scored.select("doc_id", "score_milli")
@@ -249,6 +281,11 @@ def search(index: Index, req: SearchRequest) -> SearchResult:
     tokens, excludes = parse_query(req.q)
     docs = index.docs
 
+    # Q20: stored override rules resolve to effective pinned/hidden
+    pinned, hidden = req.pinned, req.hidden
+    if req.override_store is not None:
+        pinned, hidden = req.override_store.resolve(req.q, req.pinned, req.hidden)
+
     # WAND soundness: the pruning threshold tau is computed over the
     # UNFILTERED corpus, so pruning is only exact when nothing narrows
     # the candidate set afterwards and the requested page fits in the
@@ -257,9 +294,12 @@ def search(index: Index, req: SearchRequest) -> SearchResult:
     use_wand = (
         req.use_wand
         and req.mode == "or"
-        and not (req.filter_expr or req.hidden or excludes)
+        and not (req.filter_expr or hidden or excludes)
+        and not req.query_by_weights  # block maxima are unweighted
         and req.page * req.per_page <= MAX_HITS
     )
+    if req.query_by_weights and len(req.query_by_weights) != len(req.fields):
+        raise ValueError("query_by_weights must be parallel to fields")
 
     if tokens == ["*"]:
         # Q10 wildcard: doc universe, scored 0, attribute-sorted
@@ -311,7 +351,8 @@ def search(index: Index, req: SearchRequest) -> SearchResult:
                     cand[tok] = sorted(dict(cand[tok] + extra).items())
             all_cands.update(cand)
             scored = _score_tokens(
-                index, attempt, cand, req.fields, req.mode, use_wand
+                index, attempt, cand, req.fields, req.mode, use_wand,
+                req.query_by_weights,
             )
             attempts.append(attempt)
             if scored is not None:
@@ -334,7 +375,8 @@ def search(index: Index, req: SearchRequest) -> SearchResult:
                 vcand = _expand(vtoks)
                 all_cands.update(vcand)
                 vscored = _score_tokens(
-                    index, vtoks, vcand, req.fields, req.mode, use_wand
+                    index, vtoks, vcand, req.fields, req.mode, use_wand,
+                    req.query_by_weights,
                 )
                 attempts.append(vtoks)
                 if vscored is not None:
@@ -351,9 +393,9 @@ def search(index: Index, req: SearchRequest) -> SearchResult:
         keep = docs.where(req.filter_expr).select("doc_id")
         matched = matched.join(keep, "doc_id", "left_semi")
 
-    if req.hidden:
+    if hidden:
         # Q20 hidden hits: excluded before ranking/facets
-        matched = matched.where(~F.col("doc_id").isin(list(req.hidden)))
+        matched = matched.where(~F.col("doc_id").isin(list(hidden)))
 
 
     # Q17-Q19 facets over the FULL matched set (not just the page)
@@ -431,13 +473,13 @@ def search(index: Index, req: SearchRequest) -> SearchResult:
     # Q14/Q22: distributed top-k (TakeOrderedAndProject) then page slice
     top_n = req.page * req.per_page
     proj = ["rank", "doc_id", "score_milli", *req.include_fields]
-    if req.pinned:
+    if pinned:
         # Q20 pinned hits: driver-side positional splice of the (small)
         # winner list, like the reference (src/collection.cpp:897-922)
-        organic = hydrated.orderBy(*order).limit(top_n + len(req.pinned)).collect()
+        organic = hydrated.orderBy(*order).limit(top_n + len(pinned)).collect()
         scores = {r["doc_id"]: r["score_milli"] for r in organic}
-        queue = [r["doc_id"] for r in organic if r["doc_id"] not in req.pinned]
-        by_pos = {pos: d for d, pos in req.pinned.items()}
+        queue = [r["doc_id"] for r in organic if r["doc_id"] not in pinned]
+        by_pos = {pos: d for d, pos in pinned.items()}
         final: list[tuple[int, int, int]] = []
         pos = 1
         while len(final) < top_n and (queue or by_pos):
