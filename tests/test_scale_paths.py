@@ -148,3 +148,52 @@ def test_expand_query_spark_matches_expand_query(built_index):
     assert expand_query_spark(terms_df, tokens, 2, True) == expand_query(
         tokens, term_df, 2, True
     )
+
+
+def test_osa_matches_duckdb_damerau_at_cost_1():
+    """The reference's metric is OSA (art.cpp keeps 3 DP rows and cites
+    the OSA formula); DuckDB's damerau_levenshtein is the UNRESTRICTED
+    Damerau metric. They provably coincide at distance ≤ 1 (any single
+    op is the same op set), which is why the typo_osa gate pins
+    num_typos=1; at ≥ 2 they can diverge (e.g. ca→abc: OSA 3, full
+    DL 2). Assert both the ≤1 agreement on random pairs and the known
+    divergence point."""
+    import random
+
+    import duckdb
+
+    from typesense_spark.search.expand import levenshtein, osa
+
+    assert osa("mrege", "merge") == 1 and levenshtein("mrege", "merge") == 2
+    assert osa("teh", "the") == 1
+    con = duckdb.connect()
+    # pinned divergence: OSA forbids editing inside a transposed pair
+    assert osa("ca", "abc") == 3
+    assert con.sql("SELECT damerau_levenshtein('ca', 'abc')").fetchone()[0] == 2
+    rng = random.Random(7)
+    for _ in range(300):
+        a = "".join(rng.choice("abcde") for _ in range(rng.randint(0, 8)))
+        b = "".join(rng.choice("abcde") for _ in range(rng.randint(0, 8)))
+        want = con.sql(f"SELECT damerau_levenshtein('{a}', '{b}')").fetchone()[0]
+        got = osa(a, b)
+        assert got >= want, (a, b)  # full DL is a lower bound on OSA
+        if want <= 1 or got <= 1:
+            assert got == want, (a, b, got, want)
+
+
+def test_osa_spark_expansion_matches_driver(built_index):
+    from pyspark.sql import functions as F
+
+    from typesense_spark.search.expand import expand_query, expand_query_spark
+
+    terms_df = (
+        built_index.terms.where(F.col("field") == "content")
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+    )
+    term_df = {r["term"]: r["df"] for r in terms_df.collect()}
+    tokens = ["imoprt", "retrun"]  # transpositions of import/return
+    spark_side = expand_query_spark(terms_df, tokens, 1, False, "osa")
+    driver_side = expand_query(tokens, term_df, 1, False, "osa")
+    assert spark_side == driver_side
+    assert any(t == "import" for t, _ in driver_side["imoprt"])

@@ -124,17 +124,24 @@ contrib AS (
 )
 
 
-def _cand_sql(tokens: list[str], num_typos: int, prefix_last: bool) -> str:
-    """Candidate CTE mirroring expand.expand_query exactly (caps, ranks)."""
+def _cand_sql(
+    tokens: list[str], num_typos: int, prefix_last: bool,
+    distfn: str = "levenshtein",
+) -> str:
+    """Candidate CTE mirroring expand.expand_query exactly (caps, ranks).
+    ``distfn='damerau_levenshtein'`` oracles the OSA metric: DuckDB's
+    function is the UNRESTRICTED Damerau variant, which coincides with
+    the reference's OSA at distance ≤ 1 (the typo_osa gate pins
+    num_typos=1 for exactly this reason; see test_scale_paths)."""
     parts = []
     for i, tok in enumerate(tokens):
         mc = bounded_typo_cost(tok, num_typos)
         parts.append(
             f"SELECT {i} AS qidx, term FROM ("
-            f"SELECT term, levenshtein(term, '{tok}') AS cost, "
-            f"row_number() OVER (PARTITION BY levenshtein(term, '{tok}') "
+            f"SELECT term, {distfn}(term, '{tok}') AS cost, "
+            f"row_number() OVER (PARTITION BY {distfn}(term, '{tok}') "
             f"ORDER BY df DESC, term) AS rn "
-            f"FROM tstat WHERE levenshtein(term, '{tok}') <= {mc}"
+            f"FROM tstat WHERE {distfn}(term, '{tok}') <= {mc}"
             f") WHERE cost = 0 OR rn <= {MAX_CANDIDATES}"
         )
         if prefix_last and i == len(tokens) - 1:
@@ -183,10 +190,11 @@ def bm25_oracle(
     mode: str = "and",
     per_page: int = 10,
     page: int = 1,
+    distfn: str = "levenshtein",
 ) -> str:
     return (
         _PRELUDE
-        + _cand_sql(tokens, num_typos, prefix_last)
+        + _cand_sql(tokens, num_typos, prefix_last, distfn)
         + _scored_sql(len(tokens), mode)
         + _hits_sql(per_page, page)
     )
@@ -233,6 +241,15 @@ def q_exclusion(spark, sf_dir):
 def q_typo(spark, sf_dir):
     """Q3: Levenshtein ≤2 typo expansion with reference candidate caps."""
     return _hits(_search(spark, sf_dir, q="merg", num_typos=2))
+
+
+def q_typo_osa(spark, sf_dir):
+    """Q3 Damerau-OSA: 'mrege' is one transposition from 'merge'
+    (cost 1 under OSA, 2 under plain Levenshtein), so num_typos=1 only
+    finds it with the reference's metric (src/art.cpp:1149-1177)."""
+    return _hits(
+        _search(spark, sf_dir, q="mrege", num_typos=1, typo_distance="osa")
+    )
 
 
 def q_prefix(spark, sf_dir):
@@ -523,6 +540,7 @@ QUERIES = {
     "multi_or": q_multi_or,
     "exclusion": q_exclusion,
     "typo": q_typo,
+    "typo_osa": q_typo_osa,
     "prefix": q_prefix,
     "drop_tokens": q_drop_tokens,
     "synonyms": q_synonyms,
@@ -578,6 +596,9 @@ def build_oracles() -> dict[str, str]:
         + _hits_sql().replace("FROM scored)", "FROM scored2)")
     )
     o["typo"] = bm25_oracle(["merg"], num_typos=2)
+    o["typo_osa"] = bm25_oracle(
+        ["mrege"], num_typos=1, distfn="damerau_levenshtein"
+    )
     o["prefix"] = bm25_oracle(["wind"], num_typos=0, prefix_last=True)
     # drop-tokens: full query has 0 hits (zzznope absent) → engine falls
     # back to ['merge']; oracle is the reduced query directly

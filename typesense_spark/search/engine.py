@@ -58,6 +58,10 @@ class SearchRequest:
     group_limit: int = 3  # reference: src/core_api.cpp:376
     num_typos: int = 2  # reference: src/core_api.cpp:295
     prefix_last: bool = False  # reference default true; pinned opt-in
+    # typo metric: pinned default 'levenshtein' (Spark/DuckDB builtin
+    # parity); 'osa' matches the reference's Damerau-OSA traversal
+    # (transpositions cost 1, src/art.cpp:1149-1177)
+    typo_distance: str = "levenshtein"
     drop_tokens_threshold: int = 10  # reference: src/index.cpp:305
     page: int = 1
     per_page: int = DEFAULT_PER_PAGE
@@ -325,9 +329,12 @@ def search(index: Index, req: SearchRequest) -> SearchResult:
         def _expand(attempt: list[str]) -> dict[str, list[tuple[str, int]]]:
             if spark_expand:
                 return expand_query_spark(
-                    _terms_agg(index, req.fields), attempt, req.num_typos, req.prefix_last
+                    _terms_agg(index, req.fields), attempt, req.num_typos,
+                    req.prefix_last, req.typo_distance,
                 )
-            return expand_query(attempt, term_df, req.num_typos, req.prefix_last)
+            return expand_query(
+                attempt, term_df, req.num_typos, req.prefix_last, req.typo_distance
+            )
 
         def _merge(acc: DataFrame | None, scored: DataFrame) -> DataFrame:
             if acc is None:

@@ -53,6 +53,37 @@ def levenshtein(a: str, b: str) -> int:
     return prev[-1]
 
 
+def osa(a: str, b: str) -> int:
+    """Damerau-Levenshtein, optimal-string-alignment variant: adjacent
+    transposition costs 1 — the reference's fuzzy trie traversal keeps
+    exactly the previous two DP rows and cites the OSA formula
+    (``/root/reference/src/art.cpp:1149-1177``). NOTE: DuckDB's
+    ``damerau_levenshtein`` is the UNRESTRICTED Damerau metric, which
+    coincides with OSA at distance ≤ 1 only (asserted in tests); the
+    oracle gate therefore pins num_typos=1."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if not la:
+        return lb
+    if not lb:
+        return la
+    prev2: list[int] | None = None
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if i > 1 and j > 1 and a[i - 1] == b[j - 2] and a[i - 2] == b[j - 1]:
+                cur[j] = min(cur[j], prev2[j - 2] + 1)
+        prev2, prev = prev, cur
+    return prev[lb]
+
+
+DISTANCES = {"levenshtein": levenshtein, "osa": osa}
+
+
 def bounded_typo_cost(token: str, num_typos: int) -> int:
     """Reference: len 1-2 tokens get cost cap len-1 (src/index.cpp:1786-1792)."""
     return min(num_typos, max(len(token) - 1, 0)) if len(token) < 3 else num_typos
@@ -63,8 +94,12 @@ def expand_token(
     term_df: dict[str, int],
     num_typos: int = 2,
     prefix: bool = False,
+    distance: str = "levenshtein",
 ) -> list[tuple[str, int]]:
-    """One query token → [(candidate_term, cost)], per the pinned spec."""
+    """One query token → [(candidate_term, cost)], per the pinned spec.
+    ``distance='osa'`` switches to the reference's Damerau-OSA metric
+    (transpositions cost 1)."""
+    dist = DISTANCES[distance]
     out: dict[str, int] = {}
     if token in term_df:
         out[token] = 0
@@ -74,7 +109,7 @@ def expand_token(
         for t, df in term_df.items():
             if abs(len(t) - len(token)) > max_cost or t == token:
                 continue
-            c = levenshtein(t, token)
+            c = dist(t, token)
             if 1 <= c <= max_cost:
                 by_cost.setdefault(c, []).append((-df, t))
         for c in sorted(by_cost):
@@ -96,18 +131,24 @@ def expand_query(
     term_df: dict[str, int],
     num_typos: int = 2,
     prefix_last: bool = True,
+    distance: str = "levenshtein",
 ) -> dict[str, list[tuple[str, int]]]:
     """All query tokens → candidate map (prefix applies to last token)."""
     return {
         tok: expand_token(
-            tok, term_df, num_typos, prefix=prefix_last and i == len(tokens) - 1
+            tok, term_df, num_typos,
+            prefix=prefix_last and i == len(tokens) - 1, distance=distance,
         )
         for i, tok in enumerate(tokens)
     }
 
 
 def expand_terms_spark(
-    terms_df: DataFrame, token: str, num_typos: int = 2, prefix: bool = False
+    terms_df: DataFrame,
+    token: str,
+    num_typos: int = 2,
+    prefix: bool = False,
+    distance: str = "levenshtein",
 ) -> DataFrame:
     """Scale path: the same expansion as a Spark plan over the terms table.
 
@@ -119,16 +160,31 @@ def expand_terms_spark(
     3-partition shuffle it implies is over a tiny set, not the dictionary.
     """
     max_cost = bounded_typo_cost(token, num_typos)
-    cand = (
-        terms_df.where(
-            (F.length("term") >= len(token) - max_cost)
-            & (F.length("term") <= len(token) + max_cost)
-        )
-        .select(
-            "term", "df", F.levenshtein(F.col("term"), F.lit(token)).alias("cost")
-        )
-        .where(F.col("cost") <= max_cost)
+    pre = terms_df.where(
+        (F.length("term") >= len(token) - max_cost)
+        & (F.length("term") <= len(token) + max_cost)
     )
+    if distance == "osa":
+        # no JVM builtin for OSA; keep codegen for the coarse filter:
+        # a transposition is at most two plain edits, so lev ≤ 2·osa
+        # and osa ≤ max_cost ⟹ lev ≤ 2·max_cost — filter on that in
+        # the JVM, then run the exact OSA DP on the tiny survivor set
+        # in an Arrow-batched pandas UDF
+        from pyspark.sql.functions import pandas_udf
+
+        # lambda (no type hints): module-wide `from __future__ import
+        # annotations` turns hints into strings pyspark can't resolve
+        osa_udf = pandas_udf(lambda terms: terms.map(lambda t: osa(t, token)), "int")
+
+        cand = (
+            pre.where(F.levenshtein(F.col("term"), F.lit(token)) <= 2 * max_cost)
+            .select("term", "df", osa_udf(F.col("term")).alias("cost"))
+            .where(F.col("cost") <= max_cost)
+        )
+    else:
+        cand = pre.select(
+            "term", "df", F.levenshtein(F.col("term"), F.lit(token)).alias("cost")
+        ).where(F.col("cost") <= max_cost)
     w = Window.partitionBy("cost").orderBy(F.col("df").desc(), F.col("term"))
     typo = (
         cand.withColumn("rn", F.row_number().over(w))
@@ -152,6 +208,7 @@ def expand_query_spark(
     tokens: list[str],
     num_typos: int = 2,
     prefix_last: bool = True,
+    distance: str = "levenshtein",
 ) -> dict[str, list[tuple[str, int]]]:
     """Same contract as :func:`expand_query`, but the dictionary stays
     distributed: every token's expansion is one branch of a single
@@ -162,7 +219,8 @@ def expand_query_spark(
     threshold (engine._get_term_df scale note)."""
     branches = [
         expand_terms_spark(
-            terms_df, tok, num_typos, prefix=prefix_last and i == len(tokens) - 1
+            terms_df, tok, num_typos,
+            prefix=prefix_last and i == len(tokens) - 1, distance=distance,
         ).select(F.lit(i).alias("qidx"), "term", "cost")
         for i, tok in enumerate(tokens)
     ]
