@@ -129,3 +129,96 @@ def test_salted_vs_unsalted_same_content(spark, corpus_df):
     a = dedup.exact_duplicates(corpus_df.repartition(2), "content", id_col="path", min_count=1)
     b = dedup.exact_duplicates(corpus_df.repartition(13), "content", id_col="path", min_count=1)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_simhash_pigeonhole_equals_quadratic(spark, corpus_rows):
+    df, _ = _docs_with_dups(spark, corpus_rows)
+    for mode in (True, False):
+        fast = {
+            tuple(r)
+            for r in dedup.simhash_pairs(
+                df, "text", max_hamming=6, use_hash_ids=mode
+            ).collect()
+        }
+        slow = {
+            tuple(r)
+            for r in dedup.simhash_pairs(
+                df, "text", max_hamming=6, use_hash_ids=mode, method="quadratic"
+            ).collect()
+        }
+        assert fast == slow and slow  # equivalent, and non-empty
+
+
+def test_jaccard_shingle_df_cap_bounds_pairs(spark):
+    """A universal shingle shared by every doc must not create O(n²)
+    candidate pairs once the df cap drops it; docs that are genuinely
+    near-identical still pair via their rare shingles."""
+    common = "aaa bbb ccc"  # one universal shingle in every doc
+    rows = [(i, f"{common} u{i}x v{i}y w{i}z q{i}k") for i in range(60)]
+    rows.append((1000, rows[0][1]))  # exact dup of doc 0
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    capped = dedup.ngram_jaccard_pairs(
+        df, "text", threshold_milli=1, max_shingle_df=10
+    ).collect()
+    # only the planted dup pair survives — NOT the 61·60/2 universal pairs
+    assert {(r["doc_a"], r["doc_b"]) for r in capped} == {(0, 1000)}
+    assert capped[0]["jac_milli"] == 1_000_000  # identical docs
+    uncapped = dedup.ngram_jaccard_pairs(
+        df, "text", threshold_milli=1, max_shingle_df=None
+    )
+    assert uncapped.count() == 61 * 60 // 2  # the blowup the cap prevents
+
+
+def _clustered_embeddings(spark, n_per=40, n_clusters=4, dim=16):
+    """Deterministic well-separated clusters (no RNG): cluster c points
+    along axis c with small per-vector perturbation."""
+    rows = []
+    for c in range(n_clusters):
+        for i in range(n_per):
+            v = [0.05 * ((i * 7 + d * 3) % 5 - 2) for d in range(dim)]
+            v[c] = 10.0 + 0.01 * i
+            rows.append((c * n_per + i, v))
+    return spark.createDataFrame(rows, schema="vec_id long, embedding array<float>")
+
+
+def test_kmeans_cells_recover_clusters(spark):
+    emb = _clustered_embeddings(spark)
+    cells = similarity.kmeans_cells(emb, n_cells=4, n_iters=4).collect()
+    by_true = {}
+    for r in cells:
+        by_true.setdefault(r["vec_id"] // 40, set()).add(r["cell"])
+    # every true cluster maps to exactly one k-means cell, all distinct
+    assert all(len(s) == 1 for s in by_true.values())
+    assert len({next(iter(s)) for s in by_true.values()}) == 4
+
+
+def test_ivf_multiprobe_recall_vs_brute_force(spark):
+    emb = _clustered_embeddings(spark)
+    cells = similarity.kmeans_cells(emb, n_cells=8, n_iters=4)
+    with_cells = emb.join(cells, "vec_id")
+    qids = [0, 40, 80, 120, 7, 55]
+    brute = similarity.cosine_topk(emb, query_ids=qids, k=5)
+    got_b = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
+    ivf = similarity.ivf_topk(
+        with_cells, query_ids=qids, k=5, cell_col="cell", n_probes=2
+    )
+    got_i = {(r["query_id"], r["neighbor_id"]) for r in ivf.collect()}
+    recall = len(got_b & got_i) / len(got_b)
+    assert recall >= 0.9, recall
+
+
+def test_cosine_dup_pairs_cell_bucketed(spark):
+    emb = _clustered_embeddings(spark, n_per=20)
+    cells = similarity.kmeans_cells(emb, n_cells=4, n_iters=4)
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.cosine_dup_pairs(emb, threshold_micro=990_000).collect()
+    }
+    bucketed = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.cosine_dup_pairs(
+            emb, threshold_micro=990_000, cells=cells
+        ).collect()
+    }
+    assert bucketed <= exact  # bucketing only prunes
+    assert exact and len(bucketed) / len(exact) >= 0.9  # high recall here

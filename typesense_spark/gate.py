@@ -695,9 +695,15 @@ def build_oracles() -> dict[str, str]:
     o["dedup_jaccard"] = (
         _PRELUDE
         + _sh
-        + ", sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1)"
+        # hot-shingle df cap (max_shingle_df=50), in lockstep with
+        # ops.dedup.ngram_jaccard_pairs: sizes AND intersections both
+        # computed over the capped shingle set
+        + ", shc AS (SELECT doc_id, shingle FROM ("
+        "SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS sdf FROM sh"
+        ") WHERE sdf <= 50)"
+        ", sz AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY 1)"
         ", inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i "
-        "FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)"
+        "FROM shc a JOIN shc b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)"
         " SELECT doc_a, doc_b, CAST(floor(1000000.0 * i / (sa.sz + sb.sz - i) + 0.5) AS BIGINT) AS jac_milli "
         "FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b "
         "WHERE CAST(floor(1000000.0 * i / (sa.sz + sb.sz - i) + 0.5) AS BIGINT) >= 20000 "

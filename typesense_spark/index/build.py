@@ -15,7 +15,9 @@ Scale design (10^12-file target):
 - doc_id assignment is a two-phase distributed rank (range-partition by
   natural key → partition-local row_number + broadcast offsets); no
   single-partition window.
-- tokenize → tf is pure JVM whole-stage codegen (no Python).
+- tokenize → tf runs in Arrow-batched ``mapInPandas`` (the deliberate
+  numpy tokenize_mapper below — vectorized, not per-row Python); a
+  pure-JVM expression variant exists and is proven identical in tests.
 - per-(term,doc) BM25 contributions are quantized to int64 at build
   time (see ``scoring``), so query-time scoring is an exact long sum.
 - hot terms (df > salt_threshold) are salted into ``n_salts`` subgroups
@@ -629,7 +631,6 @@ def build_index(
 
     report.n_docs = max((s.n_docs for s in stats.values()), default=0)
     if persist:
-        docs = docs.persist()
         t_pack = time.time()
         postings = postings.persist()
         # exactly ONE materializing action for the pack pipeline;

@@ -89,14 +89,31 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = SHINGLE_K,
     threshold_milli: int = 500_000,
+    max_shingle_df: int | None = 50,
 ) -> DataFrame:
     """Token-k-gram Jaccard near-dup pairs ≥ threshold.
 
     Candidates = doc pairs sharing ≥1 shingle (the standard inverted-
     index prefilter); |∩| from the shingle join, |∪| = |A|+|B|-|∩| —
     all integers, so ``jac_milli = floor(1e6·|∩|/|∪| + 0.5)`` is exact.
+
+    ``max_shingle_df`` bounds the hot-shingle blowup: a shingle present
+    in n docs contributes O(n²) join rows, so a corpus-frequent "stop
+    shingle" in 10⁸ docs would explode the self-join. Dropping shingles
+    with df > K before the join (standard in the dedup literature)
+    bounds any shingle's contribution to K² while leaving near-dup
+    recall intact — near-identical pairs still share plenty of rare
+    shingles. NOTE: sizes are computed AFTER the cap so |∪| stays
+    consistent with the capped |∩| (the oracle applies the same filter).
+    ``None`` disables the cap (exact Jaccard over all shingles).
     """
-    sh = token_shingles(docs, text_col, id_col, k).persist()
+    sh = token_shingles(docs, text_col, id_col, k)
+    if max_shingle_df is not None:
+        wdf = Window.partitionBy("shingle")
+        sh = sh.withColumn("_df", F.count("*").over(wdf)).where(
+            F.col("_df") <= max_shingle_df
+        ).drop("_df")
+    sh = sh.persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     inter = (
         sh.alias("a")
@@ -251,25 +268,61 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     use_hash_ids: bool = True,
+    method: str = "pigeonhole",
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
 
-    Gate-scale implementation is the quadratic join; the scale path is
-    the standard pigeonhole trick (split 32 bits into max_hamming+1
-    chunks, equi-join on each chunk, verify hamming) — same output.
+    Default = the pigeonhole scale path: split the 32 fingerprint bits
+    into max_hamming+1 chunks; two fingerprints within hamming ≤ h must
+    agree on at least one chunk (h flipped bits can dirty at most h of
+    the h+1 chunks), so an equi-join per chunk enumerates a candidate
+    superset, verified by exact bit_count. Join keys are
+    (chunk_id, chunk_value) — a plain shuffle join, no cross product.
+    ``method='quadratic'`` keeps the all-pairs verifier (gate/test
+    scale only; used to prove the pigeonhole path equivalent).
     """
     fp = simhash_fingerprints(docs, text_col, id_col, use_hash_ids)
-    a, b = fp.alias("a"), fp.alias("b")
-    return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))),
+    if method == "quadratic":
+        a, b = fp.alias("a"), fp.alias("b")
+        return (
+            a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .withColumn(
+                "hamming",
+                F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))),
+            )
+            .where(F.col("hamming") <= max_hamming)
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("hamming").cast("int").alias("hamming"),
+            )
         )
-        .where(F.col("hamming") <= max_hamming)
+    n_chunks = max_hamming + 1
+    width = (SIMHASH_BITS + n_chunks - 1) // n_chunks
+    spark = docs.sparkSession
+    chunks = spark.createDataFrame(
+        [(c, c * width, (1 << min(width, SIMHASH_BITS - c * width)) - 1)
+         for c in range(n_chunks)],
+        schema="chunk_id int, shift int, mask long",
+    )
+    keyed = fp.crossJoin(F.broadcast(chunks)).select(
+        "doc_id",
+        "simhash",
+        "chunk_id",
+        F.expr("shiftright(simhash, shift) & mask").alias("chunk_val"),
+    )
+    cand = (
+        keyed.alias("a")
+        .join(keyed.alias("b"), ["chunk_id", "chunk_val"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("hamming").cast("int").alias("hamming"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("int").alias("hamming"),
         )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()  # a pair can collide on several chunks
     )
+    return cand

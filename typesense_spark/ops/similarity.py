@@ -83,6 +83,88 @@ def cosine_topk(
     )
 
 
+def _mean_centroids(base: DataFrame, cell_col: str) -> DataFrame:
+    """(cell, cvec): elementwise integer mean of quantized vectors
+    (``floor(sum/count)`` — exact), via posexplode + groupBy so it
+    scales to any dimension; output is n_cells rows (broadcastable)."""
+    exploded = base.select(cell_col, F.posexplode("qv").alias("dim", "val"))
+    return (
+        exploded.groupBy(cell_col, "dim")
+        .agg(F.floor(F.sum("val").cast("double") / F.count("*")).cast("long").alias("cval"))
+        .groupBy(cell_col)
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "cval"))).alias("pairs"))
+        .select(cell_col, F.transform("pairs", lambda s: s["cval"]).alias("cvec"))
+    )
+
+
+def kmeans_cells(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd k-means over quantized vectors → (vec_id, cell).
+
+    The IVF centroid-assignment pass the round-1 review called out as
+    missing. Init is deterministic farthest-point (k-means++ without
+    the RNG): seed with the min-``xxhash64(id)`` vector, then greedily
+    add the vector least similar to every chosen centroid — one small
+    Spark job per seed, so O(n_cells) init jobs (fine for the coarse
+    cell counts IVF wants; for thousands of cells swap in hash-sampled
+    init). Then n_iters of assign-to-nearest-by-cosine / recompute-
+    mean; per iteration the heavy side is one broadcast-join scan of
+    the vectors (n·k cosine evals, all JVM expressions); centroids
+    (n_cells × dim longs) are collected to the driver between
+    iterations to cut lineage — a bounded, cluster-safe collect.
+    """
+    spark = embeddings.sparkSession
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"), quantize_vec(F.col(vec_col)).alias("qv")
+    ).persist()
+    first = (
+        base.withColumn("_h", F.xxhash64("vec_id"))
+        .orderBy("_h", "vec_id")
+        .limit(1)
+        .collect()[0]
+    )
+    seeds = [list(first["qv"])]
+    for _ in range(n_cells - 1):
+        cent = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(seeds)], schema="cell int, cvec array<long>"
+        )
+        far = (
+            base.crossJoin(F.broadcast(cent))
+            .groupBy("vec_id")
+            .agg(
+                F.max(cosine_q(F.col("qv"), F.col("cvec"))).alias("_near"),
+                F.first("qv").alias("qv"),
+            )
+            .orderBy(F.col("_near").asc(), F.col("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        seeds.append(list(far["qv"]))
+    cent_rows = [{"cell": i, "cvec": v} for i, v in enumerate(seeds)]
+    wv = Window.partitionBy("vec_id").orderBy(F.col("_cos").desc(), F.col("cell"))
+    assign = None
+    for _ in range(n_iters):
+        cent = spark.createDataFrame(
+            [(r["cell"], list(r["cvec"])) for r in cent_rows],
+            schema="cell int, cvec array<long>",
+        )
+        assign = (
+            base.crossJoin(F.broadcast(cent))
+            .withColumn("_cos", cosine_q(F.col("qv"), F.col("cvec")))
+            .withColumn("_rk", F.row_number().over(wv))
+            .where(F.col("_rk") == 1)
+            .select("vec_id", "cell", "qv")
+        )
+        cent_rows = _mean_centroids(assign, "cell").collect()
+        cent_rows = [{"cell": r["cell"], "cvec": r["cvec"]} for r in cent_rows]
+    return assign.select("vec_id", "cell")
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -90,25 +172,24 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_col: str = "label",
+    n_probes: int = 1,
 ) -> DataFrame:
-    """IVF-bucketed ANN: probe only the query's nearest cell.
+    """IVF-bucketed ANN: probe only the query's n_probes nearest cells.
 
     Cell centroids = elementwise integer mean of quantized vectors
     (``sum div count`` — exact), computed via posexplode + groupBy so
     it scales to any dimension. Centroids are broadcast (cell count is
-    small); the final scan touches one cell per query.
+    small); the final scan touches n_probes cells per query. Cells can
+    come from a data column (the gate uses ``label``) or from
+    :func:`kmeans_cells` joined on beforehand; ``n_probes > 1`` is the
+    recall lever at real scale (single-probe recall cliffs when a query
+    sits near a cell boundary).
     """
     base = embeddings.select(id_col, cell_col, quantize_vec(F.col(vec_col)).alias("qv"))
-    exploded = base.select(cell_col, F.posexplode("qv").alias("dim", "val"))
-    # floor(double division): matches SQL floor-division semantics for
-    # negative sums too (Spark's integer `div` truncates toward zero)
-    centroids = (
-        exploded.groupBy(cell_col, "dim")
-        .agg(F.floor(F.sum("val").cast("double") / F.count("*")).cast("long").alias("cval"))
-        .groupBy(cell_col)
-        .agg(F.array_sort(F.collect_list(F.struct("dim", "cval"))).alias("pairs"))
-        .select(cell_col, F.transform("pairs", lambda s: s["cval"]).alias("cvec"))
-    )
+    # floor(double division) inside _mean_centroids: matches SQL floor-
+    # division semantics for negative sums too (Spark's integer `div`
+    # truncates toward zero)
+    centroids = _mean_centroids(base, cell_col)
     q = base.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col("qv").alias("qvec")
     )
@@ -117,7 +198,7 @@ def ivf_topk(
         q.crossJoin(F.broadcast(centroids))
         .withColumn("ccos", cosine_q(F.col("qvec"), F.col("cvec")))
         .withColumn("crank", F.row_number().over(wq))
-        .where(F.col("crank") == 1)
+        .where(F.col("crank") <= n_probes)
         .select("query_id", "qvec", cell_col)
     )
     pairs = (
@@ -138,18 +219,32 @@ def cosine_dup_pairs(
     threshold_micro: int = 900_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cells: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs: cos_micro ≥ threshold, ids only.
 
-    Gate-scale quadratic join; the scale path pre-buckets by IVF cell
-    or LSH band so only same-bucket pairs are scored.
+    Without ``cells``: the exact quadratic join (gate/verifier scale).
+    With ``cells`` — a (vec_id, cell) assignment, e.g. from
+    :func:`kmeans_cells` — only same-cell pairs are scored: the join
+    becomes a per-cell equi-join, the standard IVF pre-bucketing that
+    turns O(n²) into Σ|cell|². Near-dups at high thresholds land in
+    the same cell with high probability; cross-cell misses are the
+    documented recall trade-off (use more k-means iterations or an
+    LSH band union to tighten).
     """
     base = embeddings.select(id_col, quantize_vec(F.col(vec_col)).alias("qv"))
-    a = base.select(F.col(id_col).alias("vec_a"), F.col("qv").alias("va"))
-    b = base.select(F.col(id_col).alias("vec_b"), F.col("qv").alias("vb"))
+    if cells is not None:
+        base = base.join(cells.withColumnRenamed("vec_id", id_col), id_col)
+        keys = ["cell"]
+        a = base.select("cell", F.col(id_col).alias("vec_a"), F.col("qv").alias("va"))
+        b = base.select("cell", F.col(id_col).alias("vec_b"), F.col("qv").alias("vb"))
+        joined = a.join(b, keys).where(F.col("vec_a") < F.col("vec_b"))
+    else:
+        a = base.select(F.col(id_col).alias("vec_a"), F.col("qv").alias("va"))
+        b = base.select(F.col(id_col).alias("vec_b"), F.col("qv").alias("vb"))
+        joined = a.join(b, F.col("vec_a") < F.col("vec_b"))
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn(
+        joined.withColumn(
             "cos_micro",
             F.floor(cosine_q(F.col("va"), F.col("vb")) * 1_000_000 + F.lit(0.5)).cast("long"),
         )

@@ -109,26 +109,28 @@ def proximity_rescore(index, doc_ids_df, terms: list[str], fields: list[str]):
 
     per_term = blocks.mapInPandas(decode_positions, schema=pos_schema)
 
-    out_schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("match_score", T.LongType()),
-        ]
+    # restrict to the BM25 candidate set BEFORE scoring (rescore is a
+    # second stage — only candidates need position work), then batch:
+    # one collect_list agg and ONE Arrow-batched UDF invocation per
+    # ~10k docs, instead of the round-1 per-doc applyInPandas groups
+    cand = per_term.join(doc_ids_df.select("doc_id"), "doc_id", "left_semi")
+    agg = cand.groupBy("doc_id").agg(
+        F.collect_list(F.struct("tid", "positions")).alias("tps")
     )
 
-    n_terms = len(terms)
+    def _score_batch(tps_series):
+        out = []
+        for tp_list in tps_series:
+            plists: dict[int, list[int]] = {}
+            for tp in tp_list:
+                cur = plists.setdefault(int(tp["tid"]), [])
+                cur.extend(int(x) for x in tp["positions"])
+            present = [sorted(v) for v in plists.values() if v]
+            out.append(packed_match_score(present))
+        return pd.Series(out, dtype="int64")
 
-    def score_docs(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        plists: list[list[int]] = [[] for _ in range(n_terms)]
-        for r in pdf.itertuples(index=False):
-            plists[r.tid] = sorted(plists[r.tid] + list(r.positions))
-        present = [p for p in plists if p]
-        return pd.DataFrame(
-            {"doc_id": [key[0]], "match_score": [packed_match_score(present)]}
-        )
-
-    scored = per_term.groupBy("doc_id").applyInPandas(score_docs, schema=out_schema)
-    return scored.join(doc_ids_df.select("doc_id"), "doc_id", "left_semi")
+    score_udf = F.pandas_udf(_score_batch, "long")
+    return agg.select("doc_id", score_udf(F.col("tps")).alias("match_score"))
 
 
 SNIPPET_AFFIX_TOKENS = 4  # reference highlight_affix_num_tokens
@@ -148,12 +150,9 @@ def highlight(content: str, query_terms: set[str]) -> str:
     raws = _raw_tokens(content)
     if not hit_positions:
         return " ".join(raws[: 2 * SNIPPET_AFFIX_TOKENS + 1])
-    # densest window: position minimizing span covering most hits
-    best_lo = max(hit_positions[0] - SNIPPET_AFFIX_TOKENS, 0)
-    hi = min(hit_positions[-1] + SNIPPET_AFFIX_TOKENS, len(raws) - 1)
-    lo = best_lo
-    # bound the snippet around the FIRST hit (reference uses best Match
+    # snippet bounds around the FIRST hit (reference uses best Match
     # window; with BM25 primary we pin first-hit-centered)
+    lo = max(hit_positions[0] - SNIPPET_AFFIX_TOKENS, 0)
     hi = min(hit_positions[0] + WINDOW_SIZE + SNIPPET_AFFIX_TOKENS, len(raws) - 1)
     out = []
     hit_set = set(hit_positions)
