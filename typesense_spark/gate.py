@@ -288,6 +288,18 @@ def q_filter(spark, sf_dir):
     )
 
 
+def q_filter_dsl(spark, sf_dir):
+    """Q9 reference filter DSL: `:=` exact string, numeric comparator
+    list (OR), and token-AND string CONTAINS, ANDed by `&&`
+    (reference src/collection.cpp:1741-1891)."""
+    return _hits(
+        _search(
+            spark, sf_dir, q="merge", num_typos=0,
+            filter_by="lang := en && n_chars: [>= 900, < 300] && text: batch window",
+        )
+    )
+
+
 def q_weighted_fields(spark, sf_dir):
     """Q12 query_by_weights: two-field AND search where the doc score is
     the field-wise weighted sum of per-token best contributions
@@ -545,6 +557,7 @@ QUERIES = {
     "drop_tokens": q_drop_tokens,
     "synonyms": q_synonyms,
     "filter": q_filter,
+    "filter_dsl": q_filter_dsl,
     "weighted_fields": q_weighted_fields,
     "wildcard": q_wildcard,
     "facet_counts": q_facet_counts,
@@ -623,6 +636,16 @@ def build_oracles() -> dict[str, str]:
         + _scored_sql(1)
         + ", scored2 AS (SELECT s.* FROM scored s JOIN documents d USING (doc_id) "
         "WHERE d.lang = 'en' AND d.n_chars >= 200)"
+        + _hits_sql().replace("FROM scored)", "FROM scored2)")
+    )
+    o["filter_dsl"] = (
+        _PRELUDE
+        + _cand_sql(["merge"], 0, False)
+        + _scored_sql(1)
+        + ", scored2 AS (SELECT s.* FROM scored s JOIN documents d USING (doc_id) "
+        "WHERE d.lang = 'en' AND (d.n_chars >= 900 OR d.n_chars < 300) "
+        "AND d.doc_id IN (SELECT doc_id FROM tok WHERE term = 'batch') "
+        "AND d.doc_id IN (SELECT doc_id FROM tok WHERE term = 'window'))"
         + _hits_sql().replace("FROM scored)", "FROM scored2)")
     )
     o["weighted_fields"] = (

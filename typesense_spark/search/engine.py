@@ -51,6 +51,10 @@ class SearchRequest:
     fields: tuple[str, ...] = ("content",)
     mode: str = "and"  # AND intersection (reference default) | 'or'
     filter_expr: str | None = None  # SQL boolean over docs columns (Q9)
+    # Q9 reference filter DSL ('lang := en && n_chars: [>=200, <50] &&
+    # text: batch window') — see search/filters.py; composable with
+    # filter_expr (both AND into the keep set)
+    filter_by: str | None = None
     facet_by: tuple[str, ...] = ()
     facet_stats_for: tuple[str, ...] = ()  # numeric cols → min/max/sum/avg
     max_facet_values: int = 10  # reference: src/core_api.cpp:316
@@ -298,7 +302,7 @@ def search(index: Index, req: SearchRequest) -> SearchResult:
     use_wand = (
         req.use_wand
         and req.mode == "or"
-        and not (req.filter_expr or hidden or excludes)
+        and not (req.filter_expr or req.filter_by or hidden or excludes)
         and not req.query_by_weights  # block maxima are unweighted
         and req.page * req.per_page <= MAX_HITS
     )
@@ -395,10 +399,17 @@ def search(index: Index, req: SearchRequest) -> SearchResult:
             )
         matched = _apply_excludes(index, matched, excludes, req.fields)
 
-    if req.filter_expr:
-        # Q9: plain WHERE on docs (Catalyst pushdown) + semi-join
-        keep = docs.where(req.filter_expr).select("doc_id")
-        matched = matched.join(keep, "doc_id", "left_semi")
+    if req.filter_expr or req.filter_by:
+        # Q9: plain WHERE on docs (Catalyst pushdown) + semi-join;
+        # filter_by compiles the reference DSL to the same Column form
+        keep = docs
+        if req.filter_expr:
+            keep = keep.where(req.filter_expr)
+        if req.filter_by:
+            from typesense_spark.search.filters import apply_filter_by
+
+            keep = apply_filter_by(keep, req.filter_by)
+        matched = matched.join(keep.select("doc_id"), "doc_id", "left_semi")
 
     if hidden:
         # Q20 hidden hits: excluded before ranking/facets
