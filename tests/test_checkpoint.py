@@ -71,3 +71,32 @@ def test_load_checkpointed_queryable(spark, corpus_df, tmp_path):
     rows = res.hits.collect()
     assert len(rows) == 10
     assert rows[0]["score_milli"] > 0
+
+
+def test_resume_with_changed_lineage_raises(spark, corpus_df, tmp_path):
+    from typesense_spark.index.checkpoint import checkpointed_build
+
+    out = str(tmp_path / "ix_lineage")
+    checkpointed_build(
+        spark, corpus_df, out, fields=["content"],
+        key_cols=["repo", "path", "commit"], n_groups=2, block_size=32,
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="different lineage"):
+        checkpointed_build(
+            spark, corpus_df, out, fields=["content"],
+            key_cols=["repo", "path", "commit"], n_groups=2, block_size=64,
+        )
+
+
+def test_assign_doc_ids_rejects_duplicate_keys(spark):
+    import pytest
+
+    from typesense_spark.index.build import assign_doc_ids
+
+    df = spark.createDataFrame(
+        [("r", "p"), ("r", "p"), ("r", "q")], schema="repo string, path string"
+    )
+    with pytest.raises(ValueError, match="not unique"):
+        assign_doc_ids(df, ["repo", "path"]).collect()

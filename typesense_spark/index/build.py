@@ -138,10 +138,22 @@ def assign_doc_ids(
             bucket = F.when(F.col("_skey") < F.lit(bounds[i]), F.lit(i)).otherwise(bucket)
     bucketed = with_key.withColumn("_bkt", bucket)
 
-    counts = {
-        r["_bkt"]: r["cnt"]
-        for r in bucketed.groupBy("_bkt").agg(F.count("*").alias("cnt")).collect()
-    }
+    # duplicate composite keys would make the row_number tie order (and
+    # therefore doc_ids) nondeterministic across recomputations; detect
+    # them inside the counts pass we already pay for (r1 ADVICE)
+    stats_rows = (
+        bucketed.groupBy("_bkt")
+        .agg(F.count("*").alias("cnt"), F.countDistinct("_skey").alias("dcnt"))
+        .collect()
+    )
+    dupes = sum(r["cnt"] - r["dcnt"] for r in stats_rows)
+    if dupes:
+        raise ValueError(
+            f"assign_doc_ids: key_cols {key_cols} are not unique "
+            f"({dupes} duplicate rows) — doc_id assignment would be "
+            "nondeterministic; deduplicate or add a distinguishing key column"
+        )
+    counts = {r["_bkt"]: r["cnt"] for r in stats_rows}
     offsets, acc = {}, 0
     for b in sorted(counts):
         offsets[b] = acc

@@ -51,6 +51,27 @@ def _write_marker(out_dir: str, stage: str, payload: dict) -> None:
         json.dump(payload, f, indent=1, sort_keys=True)
 
 
+def _resumable(out_dir: str, stage: str, lineage: dict, resume: bool) -> bool:
+    """A stage is skippable only if its marker exists AND was written
+    with the SAME lineage (fields, groups, build kwargs). Silently
+    reusing a stage built under different parameters would produce a
+    mixed-config index, so a mismatch raises instead (r1 ADVICE)."""
+    if not (resume and _has_marker(out_dir, stage)):
+        return False
+    with open(_marker_path(out_dir, stage)) as f:
+        recorded = json.load(f).get("lineage")
+    # round-trip through JSON so tuples/lists and int/float unify the
+    # same way the recorded side did
+    current = json.loads(json.dumps(lineage, sort_keys=True))
+    if recorded != current:
+        raise ValueError(
+            f"checkpoint stage {stage!r} at {out_dir} was built with a "
+            f"different lineage; pass resume=False (or a fresh out_dir) "
+            f"to rebuild. recorded={recorded!r} current={current!r}"
+        )
+    return True
+
+
 def checkpointed_build(
     spark: SparkSession,
     source_docs: DataFrame,
@@ -80,7 +101,7 @@ def checkpointed_build(
 
     # ---- stage 0: persist the docs table (with assigned doc_ids) ----
     t0 = time.time()
-    if not (resume and _has_marker(out_dir, "docs")):
+    if not _resumable(out_dir, "docs", lineage, resume):
         if id_col is None:
             from typesense_spark.index.build import assign_doc_ids
 
@@ -107,7 +128,7 @@ def checkpointed_build(
 
     # ---- stage 1: dictionary + doc attributes + stats ----
     t1 = time.time()
-    if not (resume and _has_marker(out_dir, "dict")):
+    if not _resumable(out_dir, "dict", lineage, resume):
         ix = build_index(
             spark, docs, fields=fields, id_col="doc_id", persist=False, **build_kw
         )
@@ -155,7 +176,7 @@ def checkpointed_build(
     terms_disk = spark.read.parquet(os.path.join(out_dir, "terms"))
     for g in range(n_groups):
         stage = f"postings_group_{g}"
-        if resume and _has_marker(out_dir, stage):
+        if _resumable(out_dir, stage, lineage, resume):
             continue
         tg = time.time()
         tf_parts = [
