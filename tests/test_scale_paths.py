@@ -197,3 +197,38 @@ def test_osa_spark_expansion_matches_driver(built_index):
     driver_side = expand_query(tokens, term_df, 1, False, "osa")
     assert spark_side == driver_side
     assert any(t == "import" for t, _ in driver_side["imoprt"])
+
+
+def test_rank_tokens_by_max_score_parity(spark):
+    """MAX_SCORE candidate ordering: driver dict vs Spark join agree,
+    and the chosen candidate set actually differs from FREQUENCY when
+    the rankings disagree."""
+    from pyspark.sql import functions as F
+
+    from typesense_spark.index import build_index
+    from typesense_spark.search.expand import expand_query, expand_query_spark
+
+    # 'merga' is rare but high-score; three other variants are common
+    # but low-score — with the 3-per-cost cap, FREQUENCY drops merga
+    # while MAX_SCORE keeps it
+    rows = [(i, "mergb common filler", 10) for i in range(8)]
+    rows += [(100, "merga rare", 999)]
+    rows += [(i + 200, "mergc other", 10 + i) for i in range(8)]
+    rows += [(i + 300, "mergd more", 10) for i in range(8)]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string, pts long")
+    ix = build_index(
+        spark, df, fields=["text"], id_col="doc_id", num_buckets=2, score_col="pts"
+    )
+    agg = (
+        ix.terms.groupBy("term")
+        .agg(F.sum("df").alias("df"), F.max("max_score").alias("max_score"))
+    )
+    term_df = {r["term"]: r["df"] for r in agg.collect()}
+    term_ms = {r["term"]: r["max_score"] for r in agg.collect()}
+    by_freq = expand_query(["merg"], term_df, 1, False)
+    by_score = expand_query(["merg"], term_df, 1, False, rank=term_ms)
+    spark_score = expand_query_spark(agg, ["merg"], 1, False, rank_col="max_score")
+    assert by_score == spark_score
+    assert "merga" in dict(by_score["merg"])  # high-score candidate kept
+    assert "merga" not in dict(by_freq["merg"])  # frequency cap drops it
+    assert by_score != by_freq

@@ -32,6 +32,7 @@ GATE_BUILD = dict(
     block_size=64,
     salt_threshold=50,  # low on purpose: exercises the hot-term salting path
     n_salts=4,
+    score_col="n_chars",  # static rank source for rank_tokens_by=max_score
 )
 
 
@@ -249,6 +250,15 @@ def q_typo_osa(spark, sf_dir):
     finds it with the reference's metric (src/art.cpp:1149-1177)."""
     return _hits(
         _search(spark, sf_dir, q="mrege", num_typos=1, typo_distance="osa")
+    )
+
+
+def q_typo_max_score(spark, sf_dir):
+    """Q3/Q5 rank_tokens_by=MAX_SCORE: typo candidates ranked by the
+    max static score (n_chars) of their docs instead of df
+    (reference token_ordering, include/art.h:124-127)."""
+    return _hits(
+        _search(spark, sf_dir, q="merg", num_typos=2, rank_tokens_by="max_score")
     )
 
 
@@ -553,6 +563,7 @@ QUERIES = {
     "exclusion": q_exclusion,
     "typo": q_typo,
     "typo_osa": q_typo_osa,
+    "typo_max_score": q_typo_max_score,
     "prefix": q_prefix,
     "drop_tokens": q_drop_tokens,
     "synonyms": q_synonyms,
@@ -611,6 +622,23 @@ def build_oracles() -> dict[str, str]:
     o["typo"] = bm25_oracle(["merg"], num_typos=2)
     o["typo_osa"] = bm25_oracle(
         ["mrege"], num_typos=1, distfn="damerau_levenshtein"
+    )
+    # MAX_SCORE ordering: per-cost candidate rank by max(n_chars) over
+    # the term's docs, in lockstep with the engine's max_score column
+    o["typo_max_score"] = (
+        _PRELUDE
+        + ", tms AS (SELECT term, max(d.n_chars) AS ms "
+        "FROM tf JOIN documents d USING (doc_id) GROUP BY 1)"
+        ", cand AS (SELECT DISTINCT qidx, term FROM ("
+        "SELECT 0 AS qidx, term FROM ("
+        "SELECT t.term, levenshtein(t.term, 'merg') AS cost, "
+        "row_number() OVER (PARTITION BY levenshtein(t.term, 'merg') "
+        "ORDER BY ms DESC, t.term) AS rn "
+        "FROM tstat t JOIN tms USING (term) "
+        "WHERE levenshtein(t.term, 'merg') <= 2"
+        f") WHERE cost = 0 OR rn <= {MAX_CANDIDATES}))"
+        + _scored_sql(1)
+        + _hits_sql()
     )
     o["prefix"] = bm25_oracle(["wind"], num_typos=0, prefix_last=True)
     # drop-tokens: full query has 0 hits (zzznope absent) → engine falls

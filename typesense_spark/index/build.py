@@ -541,12 +541,19 @@ def build_index(
     store_positions: bool = True,
     persist: bool = True,
     bucket_group: tuple[int, int] | None = None,
+    score_col: str | None = None,
 ) -> Index:
     """Build the inverted index over ``fields`` of ``docs``.
 
     Pure function of the docs table — the reference proves the same
     contract by rebuilding its whole index from the doc store at startup
     (``/root/reference/src/collection_manager.cpp:153-232``).
+
+    ``score_col``: optional static ranking column; when set, the terms
+    dictionary gains ``max_score`` = max of that column over the docs
+    holding each term — the analogue of the reference ART leaf's
+    ``max_score`` (``include/art.h:49-55``), used by
+    ``rank_tokens_by='max_score'`` candidate ordering.
     """
     t0 = time.time()
     report = BuildReport()
@@ -614,6 +621,19 @@ def build_index(
         F.sum("tf").alias("cf"),
         F.max("tf").alias("max_tf"),
     )
+    if score_col is not None:
+        # MAX_SCORE token ordering support: max static score per term
+        # (broadcast-joinable doc→score map rides the tf rows; one more
+        # narrow agg with map-side combine)
+        msc = (
+            tf_light.join(
+                docs.select("doc_id", F.col(score_col).cast("long").alias("_sc")),
+                "doc_id",
+            )
+            .groupBy("field", "term")
+            .agg(F.max("_sc").alias("max_score"))
+        )
+        terms = terms.join(msc, ["field", "term"])
     if persist:
         doc_attrs = doc_attrs.persist()
         terms = terms.persist()

@@ -66,6 +66,11 @@ class SearchRequest:
     # parity); 'osa' matches the reference's Damerau-OSA traversal
     # (transpositions cost 1, src/art.cpp:1149-1177)
     typo_distance: str = "levenshtein"
+    # candidate ordering within each typo-cost level: 'frequency' (df,
+    # the reference default) or 'max_score' (max static score over the
+    # term's docs — requires the index built with score_col;
+    # reference token_ordering, include/art.h:124-127)
+    rank_tokens_by: str = "frequency"
     drop_tokens_threshold: int = 10  # reference: src/index.cpp:305
     page: int = 1
     per_page: int = DEFAULT_PER_PAGE
@@ -140,12 +145,34 @@ def parse_query(q: str) -> tuple[list[str], list[str]]:
 
 
 def _terms_agg(index: Index, fields: tuple[str, ...]) -> DataFrame:
-    """Per-term df aggregated over the queried fields (stays distributed)."""
+    """Per-term df (+ max_score when built) aggregated over the queried
+    fields (stays distributed)."""
+    aggs = [F.sum("df").alias("df")]
+    if "max_score" in index.terms.columns:
+        aggs.append(F.max("max_score").alias("max_score"))
     return (
         index.terms.where(F.col("field").isin(list(fields)))
         .groupBy("term")
-        .agg(F.sum("df").alias("df"))
+        .agg(*aggs)
     )
+
+
+def _get_term_rank(index: Index, fields: tuple[str, ...]) -> dict[str, int]:
+    """Driver-side {term: max_score} for rank_tokens_by='max_score'
+    (cached; same size bound as the df dict)."""
+    if "max_score" not in index.terms.columns:
+        raise ValueError(
+            "rank_tokens_by='max_score' needs an index built with score_col"
+        )
+    cache = getattr(index, "_term_rank_cache", None)
+    if cache is None:
+        cache = {}
+        index._term_rank_cache = cache
+    key = tuple(sorted(fields))
+    if key not in cache:
+        rows = _terms_agg(index, fields).collect()
+        cache[key] = {r["term"]: int(r["max_score"]) for r in rows}
+    return cache[key]
 
 
 def _n_terms(index: Index, fields: tuple[str, ...]) -> int:
@@ -330,14 +357,18 @@ def search(index: Index, req: SearchRequest) -> SearchResult:
         attempts = []
         all_cands = {}
 
+        by_score = req.rank_tokens_by == "max_score"
+
         def _expand(attempt: list[str]) -> dict[str, list[tuple[str, int]]]:
             if spark_expand:
                 return expand_query_spark(
                     _terms_agg(index, req.fields), attempt, req.num_typos,
                     req.prefix_last, req.typo_distance,
+                    rank_col="max_score" if by_score else "df",
                 )
             return expand_query(
-                attempt, term_df, req.num_typos, req.prefix_last, req.typo_distance
+                attempt, term_df, req.num_typos, req.prefix_last, req.typo_distance,
+                rank=_get_term_rank(index, req.fields) if by_score else None,
             )
 
         def _merge(acc: DataFrame | None, scored: DataFrame) -> DataFrame:

@@ -95,29 +95,34 @@ def expand_token(
     num_typos: int = 2,
     prefix: bool = False,
     distance: str = "levenshtein",
+    rank: dict[str, int] | None = None,
 ) -> list[tuple[str, int]]:
     """One query token → [(candidate_term, cost)], per the pinned spec.
     ``distance='osa'`` switches to the reference's Damerau-OSA metric
-    (transpositions cost 1)."""
+    (transpositions cost 1). ``rank`` overrides the per-term ordering
+    value (default df = the reference's FREQUENCY token_ordering; pass
+    the dictionary's max_score map for MAX_SCORE,
+    ``include/art.h:124-127``)."""
     dist = DISTANCES[distance]
+    rankv = rank if rank is not None else term_df
     out: dict[str, int] = {}
     if token in term_df:
         out[token] = 0
     max_cost = bounded_typo_cost(token, num_typos)
     if max_cost > 0:
         by_cost: dict[int, list[tuple[int, str]]] = {}
-        for t, df in term_df.items():
+        for t in term_df:
             if abs(len(t) - len(token)) > max_cost or t == token:
                 continue
             c = dist(t, token)
             if 1 <= c <= max_cost:
-                by_cost.setdefault(c, []).append((-df, t))
+                by_cost.setdefault(c, []).append((-rankv[t], t))
         for c in sorted(by_cost):
             for _, t in sorted(by_cost[c])[:MAX_CANDIDATES]:
                 out.setdefault(t, c)
     if prefix:
         pref = sorted(
-            ((-df, t) for t, df in term_df.items() if t.startswith(token) and t != token)
+            ((-rankv[t], t) for t in term_df if t.startswith(token) and t != token)
         )[:MAX_CANDIDATES_PREFIX]
         for _, t in pref:
             # a term reachable both ways keeps the MIN cost (prefix = 0),
@@ -132,12 +137,14 @@ def expand_query(
     num_typos: int = 2,
     prefix_last: bool = True,
     distance: str = "levenshtein",
+    rank: dict[str, int] | None = None,
 ) -> dict[str, list[tuple[str, int]]]:
     """All query tokens → candidate map (prefix applies to last token)."""
     return {
         tok: expand_token(
             tok, term_df, num_typos,
             prefix=prefix_last and i == len(tokens) - 1, distance=distance,
+            rank=rank,
         )
         for i, tok in enumerate(tokens)
     }
@@ -149,6 +156,7 @@ def expand_terms_spark(
     num_typos: int = 2,
     prefix: bool = False,
     distance: str = "levenshtein",
+    rank_col: str = "df",
 ) -> DataFrame:
     """Scale path: the same expansion as a Spark plan over the terms table.
 
@@ -164,6 +172,7 @@ def expand_terms_spark(
         (F.length("term") >= len(token) - max_cost)
         & (F.length("term") <= len(token) + max_cost)
     )
+    rk = F.col(rank_col)
     if distance == "osa":
         # no JVM builtin for OSA; keep codegen for the coarse filter:
         # a transposition is at most two plain edits, so lev ≤ 2·osa
@@ -178,14 +187,14 @@ def expand_terms_spark(
 
         cand = (
             pre.where(F.levenshtein(F.col("term"), F.lit(token)) <= 2 * max_cost)
-            .select("term", "df", osa_udf(F.col("term")).alias("cost"))
+            .select("term", rank_col, osa_udf(F.col("term")).alias("cost"))
             .where(F.col("cost") <= max_cost)
         )
     else:
         cand = pre.select(
-            "term", "df", F.levenshtein(F.col("term"), F.lit(token)).alias("cost")
+            "term", rank_col, F.levenshtein(F.col("term"), F.lit(token)).alias("cost")
         ).where(F.col("cost") <= max_cost)
-    w = Window.partitionBy("cost").orderBy(F.col("df").desc(), F.col("term"))
+    w = Window.partitionBy("cost").orderBy(rk.desc(), F.col("term"))
     typo = (
         cand.withColumn("rn", F.row_number().over(w))
         .where((F.col("cost") == 0) | (F.col("rn") <= MAX_CANDIDATES))
@@ -193,7 +202,7 @@ def expand_terms_spark(
     )
     if not prefix:
         return typo
-    wp = Window.orderBy(F.col("df").desc(), F.col("term"))
+    wp = Window.orderBy(rk.desc(), F.col("term"))
     pref = (
         terms_df.where(F.col("term").startswith(token) & (F.col("term") != token))
         .withColumn("rn", F.row_number().over(wp))
@@ -209,6 +218,7 @@ def expand_query_spark(
     num_typos: int = 2,
     prefix_last: bool = True,
     distance: str = "levenshtein",
+    rank_col: str = "df",
 ) -> dict[str, list[tuple[str, int]]]:
     """Same contract as :func:`expand_query`, but the dictionary stays
     distributed: every token's expansion is one branch of a single
@@ -221,6 +231,7 @@ def expand_query_spark(
         expand_terms_spark(
             terms_df, tok, num_typos,
             prefix=prefix_last and i == len(tokens) - 1, distance=distance,
+            rank_col=rank_col,
         ).select(F.lit(i).alias("qidx"), "term", "cost")
         for i, tok in enumerate(tokens)
     ]
