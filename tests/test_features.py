@@ -34,11 +34,37 @@ def test_facet_value_query(built_index):
         built_index, SearchRequest(q="import", fields=("content",), num_typos=0)
     )
     vals = facet_value_query(built_index, res.matched, "lang", "py")
-    rows = {r["facet_value"] for r in vals.collect()}
-    assert rows == {"python"}
+    rows = {r["facet_value"]: r["highlighted"] for r in vals.collect()}
+    assert set(rows) == {"python"}
+    # matched-prefix highlight (reference src/collection.cpp:1099-1123):
+    # the facet-query-length prefix of the matching token is wrapped
+    assert rows["python"] == "<mark>py</mark>thon"
     # fuzzy: 'pythn' (1 typo) still matches
     vals2 = facet_value_query(built_index, res.matched, "lang", "python")
     assert {r["facet_value"] for r in vals2.collect()} == {"python"}
+
+
+def test_facet_value_query_multi_token_highlight(spark, built_index):
+    from pyspark.sql import functions as F
+
+    from typesense_spark.search.engine import facet_value_query
+
+    # synthetic matched set over a multi-token facet value
+    docs = spark.createDataFrame(
+        [(1, "south africa"), (2, "south america"), (3, "norway")],
+        schema="doc_id long, country string",
+    )
+    class _Ix:  # minimal index shim: facet_value_query only uses .docs
+        pass
+    ix = _Ix()
+    ix.docs = docs
+    matched = docs.select("doc_id")
+    vals = facet_value_query(ix, matched, "country", "south", num_typos=0)
+    rows = {r["facet_value"]: r["highlighted"] for r in vals.collect()}
+    assert rows == {
+        "south africa": "<mark>south</mark> africa",
+        "south america": "<mark>south</mark> america",
+    }
 
 
 def test_array_string_field(spark):
@@ -207,3 +233,18 @@ def test_query_by_weights_scales_field_scores(spark):
     assert {tuple(r) for r in un.matched.collect()} == {
         tuple(r) for r in w1.matched.collect()
     }
+
+
+def test_request_validation_limits(built_index):
+    import pytest
+
+    from typesense_spark.search import SearchRequest, search
+
+    for bad in [
+        dict(per_page=251),
+        dict(group_limit=100, group_by=("lang",)),
+        dict(sort_by=(("a", "asc"), ("b", "asc"), ("c", "asc"), ("d", "asc"))),
+        dict(page=0),
+    ]:
+        with pytest.raises(ValueError):
+            search(built_index, SearchRequest(q="import", fields=("content",), **bad))

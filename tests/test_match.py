@@ -73,11 +73,40 @@ def test_proximity_rescore_spark(built_index):
 
 def test_highlight_marks_terms():
     text = "alpha beta gamma delta epsilon zeta"
-    snip = highlight(text, {"gamma"})
-    assert "<mark>gamma</mark>" in snip
-    assert "alpha" in snip  # affix context
-    snip2 = highlight(text, {"nomatch"})
-    assert "<mark>" not in snip2 and snip2.startswith("alpha")
+    h = highlight(text, {"gamma"})
+    assert "<mark>gamma</mark>" in h["snippet"]
+    assert "alpha" in h["snippet"]  # short value → emitted whole
+    assert h["matched_tokens"] == ["gamma"]
+    h2 = highlight(text, {"nomatch"})
+    assert "<mark>" not in h2["snippet"] and h2["snippet"].startswith("alpha")
+
+
+def test_highlight_best_window_and_threshold():
+    """Reference semantics: values ≤ snippet_threshold tokens emit whole;
+    longer values crop around the BEST match window (densest co-
+    occurrence), not the first hit; every occurrence of a matched token
+    string inside the snippet is wrapped; highlighted_fully adds the
+    full marked value."""
+    # early lone 'red', dense 'red shirt' pair much later
+    words = ["red"] + [f"w{i}" for i in range(40)] + ["red", "shirt"] + [
+        f"t{i}" for i in range(10)
+    ]
+    text = " ".join(words)
+    h = highlight(text, {"red", "shirt"})
+    # snippet centers on the dense window (positions 41-42), not pos 0
+    assert "<mark>red</mark> <mark>shirt</mark>" in h["snippet"]
+    assert "w0" not in h["snippet"]  # early region cropped away
+    assert len(h["snippet"].split(" ")) <= 2 + 2 * 4  # window + affixes
+    assert h["matched_tokens"] == ["red", "shirt"]
+    assert h["value"] is None
+    # short value: whole text emitted even though hits are sparse
+    short = "red a b c d e shirt"
+    hs = highlight(short, {"red", "shirt"})
+    assert hs["snippet"].count("<mark>") == 2 and "a b c d e" in hs["snippet"]
+    # highlighted_fully marks ALL occurrences across the full value
+    hf = highlight(text, {"red", "shirt"}, highlighted_fully=True)
+    assert hf["value"].count("<mark>red</mark>") == 2
+    assert "w0" in hf["value"]
 
 
 def test_rerank_proximity_in_engine(built_index):

@@ -39,6 +39,9 @@ from typesense_spark.tokenizer import tokenize_terms
 
 DEFAULT_PER_PAGE = 10  # reference: src/core_api.cpp:351
 MAX_HITS = 250  # reference: src/core_api.cpp:324-329
+PER_PAGE_MAX = 250  # reference: include/collection.h:414
+GROUP_LIMIT_MAX = 99  # reference: include/collection.h:416
+MAX_SORT_FIELDS = 3  # reference: src/collection.cpp:726-731
 # above this many distinct terms the driver-dict expansion path would
 # collect a dictionary that belongs on executors (SCALE.md: 5e8-5e9
 # terms at 100 TB) — auto-route through expand_query_spark instead
@@ -292,11 +295,19 @@ def facet_value_query(
     fquery: str,
     num_typos: int = 1,
     max_values: int = 10,
+    start_tag: str = "<mark>",
+    end_tag: str = "</mark>",
 ) -> DataFrame:
     """Q18 facet-value autocomplete: count facet values over the matched
     set, keeping only values whose tokens prefix- or fuzzy-match the
     facet query (reference src/index.cpp:672-713, cost 0/1 against the
-    shadow facet trie — here a plain scan of the distinct values)."""
+    shadow facet trie — here a plain scan of the distinct values).
+
+    Also emits ``highlighted``: per value TOKEN, the matched prefix
+    (facet-query length, capped at the token length) wrapped in the
+    mark tags — the reference's facet-match highlighting
+    (``src/collection.cpp:1099-1123``). All JVM expressions.
+    """
     fq = fquery.lower()
     vals = (
         matched.join(index.docs, "doc_id")
@@ -305,14 +316,46 @@ def facet_value_query(
     )
     m = F.lower(F.col("facet_value"))
     cond = m.startswith(fq) | (F.levenshtein(m, F.lit(fq)) <= num_typos)
+
+    def _mark_token(tok):
+        hit = F.lower(tok).startswith(fq) | (
+            F.levenshtein(F.lower(tok), F.lit(fq)) <= num_typos
+        )
+        cut = F.least(F.lit(len(fq)), F.length(tok))
+        marked = F.concat(
+            F.lit(start_tag),
+            tok.substr(F.lit(1), cut),
+            F.lit(end_tag),
+            tok.substr(cut + 1, F.length(tok)),
+        )
+        return F.when(hit, marked).otherwise(tok)
+
+    highlighted = F.array_join(
+        F.transform(F.split(F.col("facet_value"), " ", -1), _mark_token), " "
+    )
     return (
         vals.where(cond)
+        .withColumn("highlighted", highlighted)
         .orderBy(F.col("facet_count").desc(), F.col("facet_value"))
         .limit(max_values)
     )
 
 
+def validate_request(req: SearchRequest) -> None:
+    """Reference request limits (src/collection.cpp:726-748):
+    per_page ≤ 250, group_limit ≤ 99, ≤ 3 sort_by fields, page ≥ 1."""
+    if req.per_page > PER_PAGE_MAX:
+        raise ValueError(f"Only upto {PER_PAGE_MAX} hits can be fetched per page.")
+    if req.group_limit > GROUP_LIMIT_MAX:
+        raise ValueError(f"Value of group_limit must be <= {GROUP_LIMIT_MAX}.")
+    if len(req.sort_by) > MAX_SORT_FIELDS:
+        raise ValueError(f"Only upto {MAX_SORT_FIELDS} sort_by fields can be specified.")
+    if req.page < 1 or req.per_page < 1:
+        raise ValueError("page and per_page must be >= 1.")
+
+
 def search(index: Index, req: SearchRequest) -> SearchResult:
+    validate_request(req)
     tokens, excludes = parse_query(req.q)
     docs = index.docs
 

@@ -31,19 +31,23 @@ WINDOW_SIZE = 10
 MAX_DISPLACEMENT = (1 << 16) - 1
 
 
-def match_score(token_positions: list[list[int]]) -> tuple[int, int]:
-    """→ (words_present, distance) per the reference semantics.
+def match_window(token_positions: list[list[int]]) -> tuple[int, int, list[int]]:
+    """→ (words_present, distance, best_window_positions) per the
+    reference semantics; the window positions are the in-window token
+    positions of the winning sweep state (``Match::offsets``), which
+    highlighting centers its snippet on.
 
     ``token_positions``: per query token, ASCENDING positions in the
     doc; tokens beyond the first 10 are ignored (reference cap).
     """
     lists = [p for p in token_positions[:WINDOW_SIZE] if p]
     if not lists:
-        return 0, 0
+        return 0, 0, []
     # heap of (position, token_id, index_into_list)
     heap = [(p[0], tid, 0) for tid, p in enumerate(lists)]
     heapq.heapify(heap)
     best_num, best_disp = 1, MAX_DISPLACEMENT
+    best_window: list[int] = [heap[0][0]]
     while len(heap) > 1:
         positions = sorted(p for p, _, _ in heap)
         lo = positions[0]
@@ -51,7 +55,7 @@ def match_score(token_positions: list[list[int]]) -> tuple[int, int]:
         num = len(in_window)
         disp = in_window[-1] - lo
         if num > best_num or (num == best_num and disp < best_disp):
-            best_num, best_disp = num, disp
+            best_num, best_disp, best_window = num, disp, in_window
         if best_num == len(lists) and best_disp == len(heap) - 1:
             break  # provably optimal
         _, tid, idx = heapq.heappop(heap)
@@ -59,7 +63,13 @@ def match_score(token_positions: list[list[int]]) -> tuple[int, int]:
             heapq.heappush(heap, (lists[tid][idx + 1], tid, idx + 1))
     if best_disp == MAX_DISPLACEMENT:
         best_disp = 0
-    return best_num, 100 - best_disp
+    return best_num, 100 - best_disp, best_window
+
+
+def match_score(token_positions: list[list[int]]) -> tuple[int, int]:
+    """→ (words_present, distance) per the reference semantics."""
+    words, distance, _ = match_window(token_positions)
+    return words, distance
 
 
 def packed_match_score(token_positions: list[list[int]], total_cost: int = 0) -> int:
@@ -134,33 +144,67 @@ def proximity_rescore(index, doc_ids_df, terms: list[str], fields: list[str]):
 
 
 SNIPPET_AFFIX_TOKENS = 4  # reference highlight_affix_num_tokens
+SNIPPET_THRESHOLD = 30  # reference snippet_threshold default
 
 
-def highlight(content: str, query_terms: set[str]) -> str:
-    """<mark>-wrapped best-window snippet (driver-side, winners only).
+def highlight(
+    content: str,
+    query_terms: set[str],
+    snippet_threshold: int = SNIPPET_THRESHOLD,
+    affix: int = SNIPPET_AFFIX_TOKENS,
+    highlighted_fully: bool = False,
+    start_tag: str = "<mark>",
+    end_tag: str = "</mark>",
+) -> dict:
+    """Best-Match-window highlighting (driver-side, winners only) —
+    reference snippet shaping ``src/collection.cpp:1309-1473``:
 
-    Tokenizes with the pinned tokenizer, finds the densest match window
-    (via :func:`match_score` positions), emits ±4 raw tokens of context
-    (reference snippet shaping, ``src/collection.cpp:1309-1473``).
+    - the snippet is centered on the BEST Match window (the same sweep
+      as the proximity score, :func:`match_window`), not the first hit;
+    - values of ≤ ``snippet_threshold`` tokens emit whole (no cropping);
+      longer values crop to [window_min - affix, window_max + affix];
+    - any occurrence of a matched token STRING inside the snippet is
+      wrapped (reference token_hits semantics);
+    - ``highlighted_fully`` adds the full value with the same marks
+      (reference highlight_full_fields).
+
+    Returns {"snippet", "matched_tokens", "value"} — value is None
+    unless highlighted_fully.
     """
     toks = tokenize(content)
-    if not toks:
-        return ""
-    hit_positions = [p for t, p in toks if t in query_terms]
     raws = _raw_tokens(content)
-    if not hit_positions:
-        return " ".join(raws[: 2 * SNIPPET_AFFIX_TOKENS + 1])
-    # snippet bounds around the FIRST hit (reference uses best Match
-    # window; with BM25 primary we pin first-hit-centered)
-    lo = max(hit_positions[0] - SNIPPET_AFFIX_TOKENS, 0)
-    hi = min(hit_positions[0] + WINDOW_SIZE + SNIPPET_AFFIX_TOKENS, len(raws) - 1)
-    out = []
-    hit_set = set(hit_positions)
-    for i in range(lo, hi + 1):
-        if i >= len(raws):
-            break
-        out.append(f"<mark>{raws[i]}</mark>" if i in hit_set else raws[i])
-    return " ".join(out)
+    if not toks:
+        return {"snippet": "", "matched_tokens": [], "value": None}
+    norm_at = {p: t for t, p in toks}  # raw-token position → normalized term
+    present = sorted({t for t, _ in toks if t in query_terms})
+    if not present:
+        return {
+            "snippet": " ".join(raws[: 2 * affix + 1]),
+            "matched_tokens": [],
+            "value": None,
+        }
+    plists = [sorted(p for t, p in toks if t == qt) for qt in present]
+    _, _, window = match_window(plists)
+    token_hits = set(present)
+    if len(raws) <= snippet_threshold:
+        lo, hi = 0, len(raws) - 1
+    else:
+        lo = max(min(window) - affix, 0)
+        hi = min(max(window) + affix, len(raws) - 1)
+
+    def _mark(i: int, out_tokens: list[str] | None = None) -> str:
+        if norm_at.get(i) in token_hits:
+            if out_tokens is not None:
+                out_tokens.append(raws[i])
+            return f"{start_tag}{raws[i]}{end_tag}"
+        return raws[i]
+
+    matched_tokens: list[str] = []
+    snippet = " ".join(_mark(i, matched_tokens) for i in range(lo, hi + 1))
+    value = None
+    if highlighted_fully:
+        value = " ".join(_mark(i) for i in range(len(raws)))
+    return {"snippet": snippet, "matched_tokens": matched_tokens, "value": value}
 
 
 def _raw_tokens(content: str) -> list[str]:
