@@ -248,3 +248,60 @@ def test_request_validation_limits(built_index):
     ]:
         with pytest.raises(ValueError):
             search(built_index, SearchRequest(q="import", fields=("content",), **bad))
+
+
+def test_array_elements_get_position_gap(spark):
+    """B5: proximity windows must not span array-element boundaries —
+    elements are joined with a >WINDOW_SIZE position gap of sentinel
+    tokens (normalized to '' → position-consuming, never emitted)."""
+    from typesense_spark.index import codec
+    from typesense_spark.search.match import match_score
+
+    df = spark.createDataFrame(
+        [(1, ["red wine", "red rose"]), (2, ["red shirt"])],
+        schema="doc_id long, tags array<string>",
+    )
+    ix = build_index(spark, df, fields=["tags"], id_col="doc_id", num_buckets=2)
+    pos = {}
+    for r in ix.candidate_postings(["red", "rose", "wine"], ["tags"]).collect():
+        ids, _tfs, _cons, poss = codec.unpack_block(
+            r["ids_bin"], r["tfs_bin"], r["contribs_bin"], r["pos_bin"]
+        )
+        for d, p in zip(ids, poss):
+            pos[(r["term"], int(d))] = [int(x) for x in p]
+    assert pos[("red", 1)][0] == 0 and pos[("wine", 1)] == [1]
+    gap = pos[("red", 1)][1] - pos[("wine", 1)][0]
+    assert gap > 10  # second element starts beyond the proximity window
+    # cross-element 'wine rose' can't win a proximity window...
+    words_x, _ = match_score([pos[("wine", 1)], pos[("rose", 1)]])
+    assert words_x == 1
+    # ...but within-element 'red wine' does
+    words_in, _ = match_score([[pos[("red", 1)][0]], pos[("wine", 1)]])
+    assert words_in == 2
+
+
+def test_export_documents_jsonl_roundtrip(built_index, tmp_path):
+    """S4: export writes one JSON document per line (the reference
+    export wire format); a filtered export only emits matching docs and
+    the content round-trips exactly."""
+    import json
+    from pathlib import Path
+
+    from typesense_spark.sources.export import export_documents
+
+    out = str(tmp_path / "export")
+    exported = export_documents(
+        built_index, out, fmt="jsonl", filter_by="lang := py",
+        include_fields=("content", "lang"),
+    )
+    want = {
+        r["doc_id"]: r["content"]
+        for r in built_index.docs.where("lang = 'py'").collect()
+    }
+    lines = []
+    for p in Path(out).glob("*.json"):
+        lines += [json.loads(ln) for ln in p.read_text().splitlines()]
+    assert len(lines) == exported.count() == len(want)
+    for obj in lines:
+        assert set(obj) == {"doc_id", "content", "lang"}
+        assert obj["lang"] == "py" and want[obj["doc_id"]] == obj["content"]

@@ -566,14 +566,20 @@ def build_index(
         docs = docs.withColumn("doc_id", F.col(id_col).cast("long"))
     docs = docs.withColumn("doc_id", F.col("doc_id").cast("long"))
 
-    # B5: string-array fields are pre-joined to one token stream
-    # (pinned deviation from the reference's per-element sentinel
-    # encoding, src/index.cpp:558-606 — phrase-within-element queries
-    # are out of scope, so the flat stream is semantically equivalent)
+    # B5: string-array fields are pre-joined to one token stream with a
+    # POSITION-GAP sentinel between elements: the joiner's NUL tokens
+    # normalize to '' (keep_empty — they consume positions but are never
+    # emitted), so consecutive elements sit > WINDOW_SIZE positions
+    # apart and proximity windows can never span an element boundary —
+    # matching the reference's per-element Match evaluation
+    # (src/index.cpp:558-606, populate_token_positions) while keeping
+    # tf/df joint across elements (pinned; tested).
     schema_types = dict(docs.dtypes)
     for fld in fields:
         if schema_types.get(fld, "").startswith("array"):
-            docs = docs.withColumn(fld, F.array_join(F.col(fld), " "))
+            docs = docs.withColumn(
+                fld, F.array_join(F.col(fld), " " + "\x00 " * 11)
+            )
 
     # B3: per-row content invariant vs the source (input_hint:
     # "content sha256 equality"), carried on the docs table
