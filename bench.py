@@ -51,8 +51,11 @@ HEADLINE = [
     "multi_and",
     "multi_or",
     "typo",
+    "typo_osa",
     "prefix",
     "filter",
+    "filter_dsl",
+    "synonyms",
     "facet_counts",
     "grouped",
     "wand_or",
@@ -63,6 +66,23 @@ HEADLINE = [
     "fingerprint",
     "events_window",
 ]
+
+
+def _scale_path_queries(spark, sf_dir: str) -> dict:
+    """Production-mode variants of the ops whose GATE entries pin
+    oracle-parity modes (dense_rank ids, quadratic verifier): the gate
+    measures parity, these measure the path you'd run at scale."""
+    from typesense_spark.ops.dedup import lsh_candidate_pairs, simhash_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = {}
+    t0 = time.time()
+    lsh_candidate_pairs(docs, "text", use_hash_ids=True).count()
+    out["dedup_minhash_hashids"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    simhash_pairs(docs, "text", use_hash_ids=True).count()  # pigeonhole join
+    out["simhash_pairs_pigeonhole"] = round(time.time() - t0, 3)
+    return out
 
 
 def _build_session(master: str):
@@ -159,6 +179,7 @@ def headline_queries(sf_dir: str, cores: int) -> tuple[dict, float, float]:
         n_rows = batch_search(ix, qs, fields=("text",), num_typos=0, k=10).count()
         batch_dt = time.time() - t0
         batch_qps = round(len(qs) / batch_dt, 1) if n_rows >= 0 else 0.0
+        timings.update(_scale_path_queries(spark, sf_dir))
         return timings, total, batch_qps
     finally:
         spark.stop()

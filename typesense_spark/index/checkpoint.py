@@ -59,10 +59,19 @@ def _resumable(out_dir: str, stage: str, lineage: dict, resume: bool) -> bool:
     if not (resume and _has_marker(out_dir, stage)):
         return False
     with open(_marker_path(out_dir, stage)) as f:
-        recorded = json.load(f).get("lineage")
+        recorded = json.load(f).get("lineage") or {}
     # round-trip through JSON so tuples/lists and int/float unify the
     # same way the recorded side did
     current = json.loads(json.dumps(lineage, sort_keys=True))
+    recorded = dict(recorded)
+    current = dict(current)
+    if current.get("id_col") == "doc_id":
+        # id_col='doc_id' means "reuse the ids the docs stage committed"
+        # (the maintain rebuild path) — compatible with ANY recorded id
+        # assignment, since every later stage reads the committed table
+        for k in ("id_col", "key_cols"):
+            recorded.pop(k, None)
+            current.pop(k, None)
     if recorded != current:
         raise ValueError(
             f"checkpoint stage {stage!r} at {out_dir} was built with a "
