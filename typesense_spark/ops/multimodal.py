@@ -1,23 +1,34 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata, processed by Arrow-batched pandas UDFs.
 
-The decode step itself is STUBBED (no image/audio libs in this
-container): ``decode_image`` raises ``NotImplementedError`` unless
-``fake=True``, in which case a deterministic fake decoder derives
-pixel statistics from the bytes (so the full Spark plumbing — schema,
-partitioning, UDF signatures, Arrow batch shapes — is real and
-tested end-to-end).
+Decode support within this container (no external imaging/AV libs):
+
+- **BMP images decode for real** — 24-bit uncompressed BMP is a
+  struct header + padded BGR rows, implemented here in pure
+  numpy/struct (round-trip tested against our own encoder);
+- **WAV audio decodes for real** — stdlib ``wave`` + numpy PCM frames,
+  with energy / zero-crossing-rate features (real DSP, deterministic);
+- compressed formats (PNG/JPEG/MP4) are honestly STUBBED: decode
+  raises ``NotImplementedError`` unless ``fake=True``, which derives a
+  deterministic pseudo-image from the payload bytes so every
+  downstream Spark shape (schema, partitioning, batch layout) still
+  runs end-to-end.
 
 Scale notes: media blobs are large → keep them OUT of shuffles. The
 pattern below extracts small typed features early (mapInPandas over the
 scan, no shuffle), then drops the binary column before any wide
 operation. Frame sampling emits multiple rows per input via the
-mapInPandas iterator contract (batch in ≠ batch out).
+mapInPandas iterator contract (batch in ≠ batch out). Feature vectors
+feed straight into ``ops.similarity`` (cosine near-dup / ANN) — media
+dedup is the feature pipeline composed with the embedding operators.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from typing import Iterable, Iterator
 
 import numpy as np
@@ -47,6 +58,17 @@ FEATURES_SCHEMA = T.StructType(
     ]
 )
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms_milli", T.LongType()),  # RMS amplitude ×1000 (of full scale)
+        T.StructField("zcr_micro", T.LongType()),  # zero-crossing rate ×1e6
+    ]
+)
+
 FRAMES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -56,26 +78,95 @@ FRAMES_SCHEMA = T.StructType(
 )
 
 
-def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
-    """Decode an image payload → HxWx3 uint8 array.
+# ------------------------------------------------------------- real decoders
 
-    Real decode needs an image library not present in this container —
-    STUB: raises unless ``fake=True``, which derives a deterministic
-    8x8x3 pseudo-image from the payload bytes (stable across runs and
-    partitionings, good enough to exercise every downstream shape).
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """HxWx3 uint8 RGB → 24-bit uncompressed BMP bytes (BITMAPINFOHEADER,
+    bottom-up rows, 4-byte row padding). Pure struct/numpy; the inverse
+    of :func:`decode_image` for the BMP case (round-trip tested)."""
+    h, w, _ = img.shape
+    row_size = (3 * w + 3) // 4 * 4
+    pix_size = row_size * h
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + pix_size, 0, 0, 14 + 40)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, pix_size, 2835, 2835, 0, 0)
+    rows = bytearray()
+    bgr = img[:, :, ::-1]  # RGB → BGR
+    pad = b"\x00" * (row_size - 3 * w)
+    for y in range(h - 1, -1, -1):  # bottom-up
+        rows += bgr[y].tobytes() + pad
+    return header + info + bytes(rows)
+
+
+def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
+    """Decode an image payload → HxWx3 uint8 RGB array.
+
+    24-bit uncompressed BMP decodes FOR REAL (pure numpy/struct).
+    Compressed formats need an imaging library absent here — those
+    raise unless ``fake=True``, which derives a deterministic 8x8x3
+    pseudo-image from the payload bytes (stable across runs and
+    partitionings, exercising every downstream shape).
     """
+    if payload[:2] == b"BM":
+        off, = struct.unpack_from("<I", payload, 10)
+        size, w, h, planes, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+        if bpp != 24 or comp != 0:
+            raise NotImplementedError(f"only 24-bit uncompressed BMP (got bpp={bpp}, comp={comp})")
+        row_size = (3 * w + 3) // 4 * 4
+        flipped = h > 0
+        h = abs(h)
+        rows = np.frombuffer(payload, dtype=np.uint8, count=row_size * h, offset=off)
+        rows = rows.reshape(h, row_size)[:, : 3 * w].reshape(h, w, 3)
+        if flipped:
+            rows = rows[::-1]
+        return rows[:, :, ::-1].copy()  # BGR → RGB
     if not fake:
         raise NotImplementedError(
-            "image decode requires an imaging library not available here; "
-            "pass fake=True for the deterministic test decoder"
+            "compressed image decode requires an imaging library not "
+            "available here; pass fake=True for the deterministic test decoder"
         )
     digest = hashlib.sha256(payload).digest()
     rng = np.frombuffer((digest * 6)[: 8 * 8 * 3], dtype=np.uint8)
     return rng.reshape(8, 8, 3).copy()
 
 
-def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
-    """mapInPandas feature extraction; binary column dropped on output."""
+def decode_audio_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """WAV payload → (sample_rate, mono float32 in [-1, 1]). Real
+    decode via stdlib ``wave`` + numpy (16-bit PCM)."""
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        rate = wf.getframerate()
+        n = wf.getnframes()
+        width = wf.getsampwidth()
+        ch = wf.getnchannels()
+        raw = wf.readframes(n)
+    if width != 2:
+        raise NotImplementedError(f"only 16-bit PCM WAV (got sample width {width})")
+    pcm = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    if ch > 1:
+        pcm = pcm.reshape(-1, ch).mean(axis=1)
+    return rate, pcm
+
+
+def resize_image(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize (pure numpy) — the standard pre-embed
+    normalization step, deterministic and library-free."""
+    h, w = img.shape[:2]
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[ys][:, xs]
+
+
+# --------------------------------------------------------- Spark operators
+
+
+def extract_features(
+    media: DataFrame, fake_decode: bool = True, thumb: int = 8
+) -> DataFrame:
+    """mapInPandas image feature extraction; binary column dropped on
+    output. BMP payloads decode for real; others use the fake decoder
+    when allowed. feature_vec = per-channel means of the ``thumb``²
+    nearest-neighbor thumbnail (normalized) — pipe into
+    ops.similarity.cosine_dup_pairs for media near-dup."""
 
     def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -83,6 +174,7 @@ def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
             for r in pdf.itertuples(index=False):
                 payload = bytes(r.payload)
                 img = decode_image(payload, fake=fake_decode)
+                img = resize_image(img, thumb, thumb)
                 flat = img.astype(np.float32)
                 rows.append(
                     (
@@ -98,6 +190,37 @@ def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
             )
 
     return media.mapInPandas(gen, schema=FEATURES_SCHEMA)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """mapInPandas WAV audio features — REAL decode + DSP (RMS energy,
+    zero-crossing rate), quantized to integers for exact comparison."""
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.kind != "audio":
+                    continue
+                rate, pcm = decode_audio_wav(bytes(r.payload))
+                n = len(pcm)
+                rms = float(np.sqrt(np.mean(pcm * pcm))) if n else 0.0
+                zc = int(np.count_nonzero(np.signbit(pcm[1:]) != np.signbit(pcm[:-1])))
+                rows.append(
+                    (
+                        r.media_id,
+                        rate,
+                        n,
+                        int(n * 1000 // max(rate, 1)),
+                        int(np.floor(rms * 1000 + 0.5)),
+                        int(np.floor(zc / max(n - 1, 1) * 1_000_000 + 0.5)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(gen, schema=AUDIO_FEATURES_SCHEMA)
 
 
 def sample_frames(media: DataFrame, every_ms: int = 1000, fake_decode: bool = True) -> DataFrame:
@@ -123,21 +246,48 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, fake_decode: bool = Tr
     return media.mapInPandas(gen, schema=FRAMES_SCHEMA)
 
 
+# ------------------------------------------------------------ synth sources
+
+
+def synth_wav(freq_hz: int = 440, rate: int = 8000, ms: int = 250) -> bytes:
+    """Real 16-bit PCM WAV bytes of a sine tone (stdlib encoder)."""
+    t = np.arange(int(rate * ms / 1000)) / rate
+    pcm = (np.sin(2 * np.pi * freq_hz * t) * 0.5 * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
 def synth_media(spark, n: int = 32) -> DataFrame:
-    """Deterministic fake media table matching MEDIA_SCHEMA (tests)."""
+    """Deterministic fake media table matching MEDIA_SCHEMA (tests):
+    images are REAL BMPs, audio rows are REAL WAVs, video rows stay
+    opaque payloads for the fan-out path."""
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
-        payload = hashlib.sha256(f"media-{i}".encode()).digest() * (4 + i % 5)
+        if kind == "image":
+            shade = np.full((8, 8, 3), (i * 37) % 256, dtype=np.uint8)
+            payload = encode_bmp(shade)
+            mime = "image/bmp"
+        elif kind == "audio":
+            payload = synth_wav(freq_hz=200 + 50 * (i % 5))
+            mime = "audio/wav"
+        else:
+            payload = hashlib.sha256(f"media-{i}".encode()).digest() * (4 + i % 5)
+            mime = "video/mp4"
         rows.append(
             (
                 i,
                 kind,
-                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                mime,
                 bytearray(payload),
-                8 if kind != "audio" else None,
-                8 if kind != "audio" else None,
+                8 if kind == "image" else None,
+                8 if kind == "image" else None,
                 (i % 7 + 1) * 1000 if kind == "video" else None,
             )
         )
