@@ -203,6 +203,9 @@ def lsh_candidate_pairs(
                 ",", F.sort_array(F.collect_list(F.format_string("%d:%d", "perm_id", "minhash")))
             ).alias("band_key")
         )
+        # cached: the bucket self-join reads this twice, and the
+        # signature pipeline above it is the expensive part
+        .persist()
     )
     return (
         bands.alias("a")
@@ -300,6 +303,9 @@ def simhash_pairs(
     n_chunks = max_hamming + 1
     width = (SIMHASH_BITS + n_chunks - 1) // n_chunks
     spark = docs.sparkSession
+    # self-join would otherwise recompute the whole fingerprint lineage
+    # twice (verified in .explain); fp is 16 bytes/doc — cache it
+    fp = fp.persist()
     chunks = spark.createDataFrame(
         [(c, c * width, (1 << min(width, SIMHASH_BITS - c * width)) - 1)
          for c in range(n_chunks)],
