@@ -78,3 +78,74 @@ def test_windowed_counts_match_batch(spark, tmp_path):
     )
     want = {(r["window_start"], r["event_type"]): (r["n"], r["s"]) for r in want_rows}
     assert got == want
+
+
+def test_stream_dedup_drops_repeats(spark, tmp_path):
+    from typesense_spark.streaming.incremental import stream_dedup
+
+    rows = [
+        (1, "alpha beta", "2024-01-01 10:00:00"),
+        (2, "alpha beta", "2024-01-01 10:01:00"),  # dup content
+        (3, "gamma delta", "2024-01-01 10:02:00"),
+        (4, "alpha beta", "2024-01-01 10:03:00"),  # dup content
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string, ts string")
+    src = str(tmp_path / "dd_src")
+    df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        stream_dedup(stream, "text")
+        .writeStream.format("memory")
+        .queryName("dd_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT doc_id, text FROM dd_out").collect()
+    texts = sorted(r["text"] for r in out)
+    assert texts == ["alpha beta", "gamma delta"]  # one survivor per content
+
+
+def test_running_event_totals_stateful(spark, tmp_path):
+    """applyInPandasWithState running totals equal the batch aggregate
+    after draining the stream."""
+    from typesense_spark.streaming.incremental import running_event_totals
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "rt_src")
+    ev.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        running_event_totals(stream)
+        .writeStream.format("memory")
+        .queryName("rt_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # last emission per key = final running total
+    got = {
+        r["event_type"]: (r["n_events"], r["sum_value_cents"])
+        for r in spark.sql("SELECT * FROM rt_out").collect()
+    }
+    want = {
+        r["event_type"]: (r["n"], r["s"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("s"),
+        )
+        .collect()
+    }
+    # memory sink in update mode appends every emission; keep the max
+    # (running totals are monotone)
+    assert set(got) == set(want)
+    for k, (n, s) in want.items():
+        assert got[k][0] <= n  # emissions are prefixes of the final total
+    # drain once more to assert the FINAL state matches exactly
+    final = {}
+    for r in spark.sql("SELECT * FROM rt_out").collect():
+        cur = final.get(r["event_type"], (0, 0))
+        final[r["event_type"]] = max(cur, (r["n_events"], r["sum_value_cents"]))
+    assert final == want

@@ -108,3 +108,59 @@ def windowed_event_counts(
             "sum_value_cents",
         )
     )
+
+
+def stream_dedup(
+    docs_stream: DataFrame,
+    text_col: str,
+    watermark_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop documents whose content hash was
+    already seen within the watermark horizon — the streaming twin of
+    ops.dedup.exact_duplicates, and the front gate of a streaming
+    training-data pipeline. State is bounded by the watermark (Spark
+    evicts hashes older than the horizon); an unbounded exact-dedup
+    needs the batch job instead."""
+    return (
+        docs_stream.withColumn("text_hash", F.md5(F.col(text_col)))
+        .withColumn(watermark_col, F.col(watermark_col).cast("timestamp"))
+        .withWatermark(watermark_col, watermark)
+        .dropDuplicates(["text_hash"])
+    )
+
+
+RUNNING_TOTALS_SCHEMA = "event_type string, n_events long, sum_value_cents long"
+_STATE_SCHEMA = "n long, s long"
+
+
+def running_event_totals(events_stream: DataFrame, timeout_ms: int = 0) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per
+    event_type RUNNING totals across micro-batches (count + cent-
+    quantized sum) — the arbitrary-state pattern windowed aggs can't
+    express (state is a running reduction, not a window). Each group's
+    state is two longs; emission is one row per updated key per batch."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            # floor (not truncate): matches the batch gate's
+            # floor(value*100 + 0.5) for negative values too
+            cents = np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype("int64")
+            s += int(cents.sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"event_type": [key[0]], "n_events": [n], "sum_value_cents": [s]}
+        )
+
+    return events_stream.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_TOTALS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
