@@ -107,13 +107,20 @@ def ngram_jaccard_pairs(
     consistent with the capped |∩| (the oracle applies the same filter).
     ``None`` disables the cap (exact Jaccard over all shingles).
     """
-    sh = token_shingles(docs, text_col, id_col, k)
+    # persist the RAW shingles first: the hot-list agg, sizes, and the
+    # self-join all read from this cache (tokenize+lead windows run once)
+    sh = token_shingles(docs, text_col, id_col, k).persist()
     if max_shingle_df is not None:
-        wdf = Window.partitionBy("shingle")
-        sh = sh.withColumn("_df", F.count("*").over(wdf)).where(
-            F.col("_df") <= max_shingle_df
-        ).drop("_df")
-    sh = sh.persist()
+        # the HOT-shingle list is tiny by definition (df > K); a groupBy
+        # with map-side combine producing it + a broadcast anti-join is
+        # far cheaper than a count window over every shingle row
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     inter = (
         sh.alias("a")
