@@ -345,6 +345,58 @@ def q_wildcard(spark, sf_dir):
     ).orderBy("rank")
 
 
+def q_facet_query(spark, sf_dir):
+    """Q18: facet-value autocomplete over the matched set with
+    matched-prefix highlighting (facet query 'e' prefix-matches 'en')."""
+    from typesense_spark.search.engine import facet_value_query
+
+    res = _search(spark, sf_dir, q="merge", num_typos=0)
+    ix = get_index(spark, sf_dir)
+    return facet_value_query(
+        ix, res.matched, "lang", "e", num_typos=0
+    ).orderBy(F.desc("facet_count"), "facet_value")
+
+
+def q_export(spark, sf_dir):
+    """S4: filtered + projected document export (JSONL write is the
+    sink; the gate compares the exported relation)."""
+    import tempfile
+
+    from typesense_spark.sources.export import export_documents
+
+    ix = get_index(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="ts_export_")
+    return export_documents(
+        ix, out, fmt="jsonl", filter_by="lang := en",
+        include_fields=("text", "lang"),
+    ).orderBy("doc_id")
+
+
+def q_delete_rebuild(spark, sf_dir):
+    """S7: checkpointed build → delete doc_ids 0..9 → decoded postings
+    of the REBUILT buckets must equal the surviving docs' tf exactly
+    (frozen-stats semantics: tf is stat-independent, so the oracle is
+    the plain tf relation minus the victims)."""
+    import tempfile
+
+    from typesense_spark.index.checkpoint import checkpointed_build, load_checkpointed
+    from typesense_spark.index.maintain import delete_docs
+
+    docs = _docs(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="ts_delete_")
+    checkpointed_build(
+        spark, docs, out, fields=["text"], id_col="doc_id", n_groups=2,
+        num_buckets=8, block_size=64,
+    )
+    delete_docs(spark, out, list(range(10)), fields=["text"])
+    ix = load_checkpointed(spark, out)
+    return (
+        ix.decoded(["table", "merge"], ["text"])
+        .select("term", "doc_id", "tf")
+        .orderBy("term", "doc_id")
+    )
+
+
 def q_facet_counts(spark, sf_dir):
     """Q17/Q19: facet counting over the full matched set."""
     res = _search(spark, sf_dir, q="merge", num_typos=0, facet_by=("lang",))
@@ -572,7 +624,10 @@ QUERIES = {
     "weighted_fields": q_weighted_fields,
     "wildcard": q_wildcard,
     "facet_counts": q_facet_counts,
+    "facet_query": q_facet_query,
     "facet_stats": q_facet_stats,
+    "export": q_export,
+    "delete_rebuild": q_delete_rebuild,
     "grouped": q_grouped,
     "pagination": q_pagination,
     "wand_or": q_wand,
@@ -698,6 +753,30 @@ def build_oracles() -> dict[str, str]:
         + " SELECT d.lang AS facet_value, count(*) AS facet_count "
         "FROM scored s JOIN documents d USING (doc_id) GROUP BY 1 "
         "ORDER BY facet_count DESC, facet_value LIMIT 10"
+    )
+    o["facet_query"] = (
+        _PRELUDE
+        + _cand_sql(["merge"], 0, False)
+        + _scored_sql(1)
+        # lang values are single-token, so the per-token matched-prefix
+        # highlight reduces to a prefix wrap of the whole value
+        + " SELECT facet_value, facet_count, "
+        "CASE WHEN lower(facet_value) LIKE 'e%' THEN "
+        "'<mark>' || substring(facet_value, 1, 1) || '</mark>' || substring(facet_value, 2) "
+        "ELSE facet_value END AS highlighted FROM ("
+        "SELECT d.lang AS facet_value, count(*) AS facet_count "
+        "FROM scored s JOIN documents d USING (doc_id) GROUP BY 1"
+        ") WHERE lower(facet_value) LIKE 'e%' OR lower(facet_value) = 'e' "
+        "ORDER BY facet_count DESC, facet_value LIMIT 10"
+    )
+    o["export"] = (
+        "SELECT doc_id, text, lang FROM documents WHERE lang = 'en' ORDER BY doc_id"
+    )
+    o["delete_rebuild"] = (
+        _PRELUDE
+        + " SELECT term, doc_id, tf FROM tf "
+        "WHERE term IN ('table', 'merge') AND doc_id >= 10 "
+        "ORDER BY term, doc_id"
     )
     o["facet_stats"] = (
         _PRELUDE
