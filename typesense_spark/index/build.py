@@ -256,36 +256,54 @@ def tokenize_mapper(fld: str, store_positions: bool):
     return gen
 
 
-def _pack_chunk(
-    pdf: pd.DataFrame,
-    block_size: int,
-    n_docs: int,
-    avgdl: float,
-    store_positions: bool,
-) -> pd.DataFrame:
-    """Pack a chunk of rows sorted by (term, salt, doc_id) that contains
-    only COMPLETE (term, salt) groups — fully vectorized across every
-    group and block in the chunk (one delta pass + one varint encode per
-    stream for the whole chunk, sliced per block)."""
-    k1, b, scale = scoring.K1, scoring.B, scoring.SCALE
-    doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-    tfs = pdf["tf"].to_numpy(dtype=np.int64)
-    dls = pdf["dl"].to_numpy(dtype=np.int64)
-    dfs = pdf["df"].to_numpy(dtype=np.int64)
-    terms = pdf["term"].to_numpy()
-    salts = pdf["salt"].to_numpy(dtype=np.int64)
+def _binary_buffers(arr) -> tuple[np.ndarray, np.ndarray]:
+    """Arrow Binary/StringArray → (offsets[int32], values[uint8]) as
+    numpy views over the Arrow buffers, corrected for the array's
+    slice offset — NO per-row Python objects are created."""
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ]
+    values = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+    return offsets, values
+
+
+def _group_change(batch) -> np.ndarray:
+    """Boolean mask: row starts a new (term, salt) group. term
+    comparison runs in Arrow compute (no Python string objects)."""
+    import pyarrow.compute as pc
+
+    n = batch.num_rows
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    if n > 1:
+        t = batch.column("term")
+        neq = pc.not_equal(t.slice(1), t.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        salts = batch.column("salt").to_numpy()
+        change[1:] = neq | (salts[1:] != salts[:-1])
+    return change
+
+
+def _pack_batch_arrow(batch, block_size: int, store_positions: bool, fld: str):
+    """Pack one Arrow batch of rows sorted by (term, salt, doc_id)
+    holding only COMPLETE (term, salt) groups — vectorized across every
+    group and block; the per-doc position streams are spliced per block
+    by slicing the Arrow binary VALUE buffer (one numpy slice per
+    block, never 13M Python bytes objects). Contributions arrive
+    precomputed (JVM-side, ULP-identical to numpy — asserted in
+    tests/test_scoring_parity.py), so the shuffle rows carry neither
+    dl nor df."""
+    import pyarrow as pa
+
+    doc_ids = batch.column("doc_id").to_numpy()
+    tfs = batch.column("tf").to_numpy()
+    contribs = batch.column("contrib").to_numpy()
+    salts = batch.column("salt").to_numpy()
     n = doc_ids.size
 
-    # pinned BM25 contribution, quantized (see scoring.py) — numpy
-    # double ops == glibc libm == the DuckDB oracle
-    idf = np.log(1.0 + (n_docs - dfs + 0.5) / (dfs + 0.5))
-    tfn = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
-    contribs = np.floor(idf * tfn * scale + 0.5).astype(np.int64)
-
-    # group boundaries (term or salt change), block boundaries within
-    grp_change = np.empty(n, dtype=bool)
-    grp_change[0] = True
-    grp_change[1:] = (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
+    grp_change = _group_change(batch)
     grp_start_of = np.maximum.accumulate(np.where(grp_change, np.arange(n), 0))
     pos_in_grp = np.arange(n) - grp_start_of
     is_start = grp_change | (pos_in_grp % block_size == 0)
@@ -302,29 +320,30 @@ def _pack_chunk(
     tfs_bins = codec.varint_encode_split(tfs.astype(np.uint64), sizes)
     con_bins = codec.varint_encode_split(contribs.astype(np.uint64), sizes)
     if store_positions:
-        pos_vals = pdf["pos_bin"].tolist()
-        # per-doc position streams are self-delimited varint records →
-        # block stream = concatenation in doc order
-        pos_bins = [b"".join(pos_vals[a:e]) for a, e in zip(starts, ends)]
+        offs, vals = _binary_buffers(batch.column("pos_bin"))
+        vb = vals.tobytes()  # one copy per batch; slices below are per BLOCK
+        pos_bins = [vb[offs[a] : offs[e]] for a, e in zip(starts, ends)]
     else:
         pos_bins = [b""] * starts.size
 
-    return pd.DataFrame(
-        {
-            "field": pdf["field"].to_numpy()[starts],
-            "term": terms[starts],
-            "salt": pd.array(salts[starts], dtype="int32"),
-            "block_id": pd.array(pos_in_grp[starts] // block_size, dtype="int32"),
-            "n_docs": pd.array(sizes, dtype="int32"),
-            "min_doc_id": pd.array(doc_ids[starts], dtype="int64"),
-            "max_doc_id": pd.array(doc_ids[ends - 1], dtype="int64"),
-            "max_tf": pd.array(np.maximum.reduceat(tfs, starts), dtype="int64"),
-            "max_contrib": pd.array(np.maximum.reduceat(contribs, starts), dtype="int64"),
-            "ids_bin": ids_bins,
-            "tfs_bin": tfs_bins,
-            "contribs_bin": con_bins,
-            "pos_bin": pos_bins,
-        }
+    starts_pa = pa.array(starts, type=pa.int64())
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array([fld] * starts.size, type=pa.string()),
+            batch.column("term").take(starts_pa),
+            pa.array(salts[starts].astype(np.int32), type=pa.int32()),
+            pa.array((pos_in_grp[starts] // block_size).astype(np.int32), type=pa.int32()),
+            pa.array(sizes.astype(np.int32), type=pa.int32()),
+            pa.array(doc_ids[starts], type=pa.int64()),
+            pa.array(doc_ids[ends - 1], type=pa.int64()),
+            pa.array(np.maximum.reduceat(tfs, starts), type=pa.int64()),
+            pa.array(np.maximum.reduceat(contribs, starts), type=pa.int64()),
+            pa.array(ids_bins, type=pa.binary()),
+            pa.array(tfs_bins, type=pa.binary()),
+            pa.array(con_bins, type=pa.binary()),
+            pa.array(pos_bins, type=pa.binary()),
+        ],
+        names=[f.name for f in POSTINGS_SCHEMA.fields],
     )
 
 
@@ -346,6 +365,12 @@ def pack_pipeline(
     within partitions, stream-pack (see _make_pack_fn). Factored out so
     the checkpointed build can replay it per bucket group against the
     on-disk dictionary without recomputing stats.
+
+    Shuffle rows are SLIM (r2): the quantized BM25 contribution is
+    computed JVM-side before the shuffle (bit-identical to the numpy
+    form — asserted in tests/test_scoring_parity.py), so dl, df, and
+    the constant field string never cross the wire; each row is
+    (term, salt, doc_id, tf, contrib, pos_bytes).
     """
     n_pack = int(spark.conf.get("spark.sql.shuffle.partitions"))
     packed_parts = []
@@ -362,18 +387,26 @@ def pack_pipeline(
             terms.where(F.col("field") == fld).select("term", "df"), "term", "left"
         ).withColumn("df", F.coalesce("df", F.lit(1)))
         # hot-term salting: bound any single pack-group's size
-        enriched = enriched.withColumn(
-            "salt",
+        slim = enriched.select(
+            "term",
             F.when(
                 F.col("df") > salt_threshold,
                 F.pmod(F.col("doc_id"), F.lit(n_salts)).cast("int"),
-            ).otherwise(F.lit(0)),
+            )
+            .otherwise(F.lit(0))
+            .alias("salt"),
+            "doc_id",
+            "tf",
+            scoring.spark_contrib_expr(
+                F.col("tf"), F.col("dl"), F.col("df"), fs.n_docs, fs.avgdl
+            ).alias("contrib"),
+            "pos_bin",
         )
         packed = (
-            enriched.repartition(n_pack, "term", "salt")
+            slim.repartition(n_pack, "term", "salt")
             .sortWithinPartitions("term", "salt", "doc_id")
-            .mapInPandas(
-                _make_pack_fn(block_size, fs.n_docs, fs.avgdl, store_positions),
+            .mapInArrow(
+                _make_pack_fn(block_size, store_positions, fld),
                 schema=POSTINGS_SCHEMA,
             )
         )
@@ -388,37 +421,42 @@ def pack_pipeline(
     )
 
 
-def _make_pack_fn(block_size: int, n_docs: int, avgdl: float, store_positions: bool):
-    """Streaming per-partition packer for mapInPandas over rows sorted by
+def _make_pack_fn(block_size: int, store_positions: bool, fld: str):
+    """Streaming per-partition packer for mapInArrow over rows sorted by
     (term, salt, doc_id) within the partition.
 
     Carries the trailing INCOMPLETE group of each Arrow batch into the
-    next one, so chunks handed to ``_pack_chunk`` always hold whole
-    groups. This replaces per-group ``applyInPandas`` — whose ~5-8 ms
-    fixed cost per group dominated the build (547 core-s at 64k groups)
-    — with a per-batch fixed cost amortized over ~10k rows.
-    """
+    next one (as an Arrow slice — zero-copy), so batches handed to
+    ``_pack_batch_arrow`` always hold whole groups. History of this hot
+    path: per-group ``applyInPandas`` (~5-8 ms fixed cost × 64k groups
+    = 547 core-s) → per-batch mapInPandas (r1) → mapInArrow (r2: the
+    pandas conversion was materializing one Python bytes object per
+    posting row for pos_bin, the single largest cost in the build)."""
+    import pyarrow as pa
 
-    def pack(batches: Iterable[pd.DataFrame]):
-        pending: pd.DataFrame | None = None
-        for pdf in batches:
-            if pending is not None and len(pending):
-                pdf = pd.concat([pending, pdf], ignore_index=True)
-            if not len(pdf):
+    def _concat(a, b):
+        # pa.concat_batches needs pyarrow >= 16; Table route works on all
+        return (
+            pa.Table.from_batches([a, b]).combine_chunks().to_batches(
+                max_chunksize=a.num_rows + b.num_rows
+            )[0]
+        )
+
+    def pack(batches):
+        pending = None
+        for batch in batches:
+            if pending is not None and pending.num_rows:
+                batch = _concat(pending, batch)
+            if not batch.num_rows:
                 continue
-            terms = pdf["term"].to_numpy()
-            salts = pdf["salt"].to_numpy()
-            last_t, last_s = terms[-1], salts[-1]
-            tail = (terms == last_t) & (salts == last_s)
-            # trailing run of the final group (sorted ⇒ contiguous)
-            cut = len(pdf) - int(tail[::-1].argmin()) if not tail.all() else 0
-            complete, pending = pdf.iloc[:cut], pdf.iloc[cut:]
-            if len(complete):
-                yield _pack_chunk(complete, block_size, n_docs, avgdl, store_positions)
-        if pending is not None and len(pending):
-            yield _pack_chunk(
-                pending.reset_index(drop=True), block_size, n_docs, avgdl, store_positions
-            )
+            change = _group_change(batch)
+            # cut = start of the trailing group (sorted ⇒ contiguous)
+            cut = int(np.flatnonzero(change)[-1])
+            complete, pending = batch.slice(0, cut), batch.slice(cut)
+            if complete.num_rows:
+                yield _pack_batch_arrow(complete, block_size, store_positions, fld)
+        if pending is not None and pending.num_rows:
+            yield _pack_batch_arrow(pending, block_size, store_positions, fld)
 
     return pack
 

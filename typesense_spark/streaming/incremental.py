@@ -38,16 +38,9 @@ def incremental_index_stream(
     max existing id + stream offset) and the content field. Returns the
     StreamingQuery; caller awaits/processes it.
     """
-    from typesense_spark.index.build import (
-        POSTINGS_SCHEMA,
-        TF_SCHEMA,
-        _make_pack_fn,
-        term_bucket_expr,
-        tokenize_mapper,
-    )
+    from typesense_spark.index.build import TF_SCHEMA, pack_pipeline, tokenize_mapper
 
-    fs = index.stats[content_field]
-    base_terms = index.terms.where(F.col("field") == content_field).select("term", "df")
+    spark = index.spark
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -55,24 +48,24 @@ def incremental_index_stream(
         tf = batch_df.select("doc_id", content_field).mapInPandas(
             tokenize_mapper(content_field, True), schema=TF_SCHEMA
         )
-        joined = (
-            # FROZEN base stats: df from the base dictionary (new terms
-            # get df=1), N/avgdl from the base build
-            tf.join(base_terms, "term", "left")
-            .withColumn("df", F.coalesce("df", F.lit(1)))
-            .withColumn("salt", F.lit(0))
+        # FROZEN base stats: df from the base dictionary (new terms get
+        # df=1 via pack_pipeline's left join), N/avgdl from the base
+        # build; salting off (micro-batches are small)
+        packed = pack_pipeline(
+            spark,
+            tf,
+            index.terms,
+            index.stats,
+            [content_field],
+            num_buckets=index.num_buckets,
+            block_size=block_size,
+            salt_threshold=2**62,
+            n_salts=1,
+            store_positions=True,
         )
-        packed = (
-            joined.repartition("term", "salt")
-            .sortWithinPartitions("term", "salt", "doc_id")
-            .mapInPandas(
-                _make_pack_fn(block_size, fs.n_docs, fs.avgdl, True),
-                schema=POSTINGS_SCHEMA,
-            )
+        packed.write.mode("append").partitionBy("term_bucket").parquet(
+            out_postings_dir
         )
-        packed.withColumn(
-            "term_bucket", term_bucket_expr(F.col("term"), index.num_buckets)
-        ).write.mode("append").partitionBy("term_bucket").parquet(out_postings_dir)
 
     return (
         new_docs_stream.writeStream.foreachBatch(handle_batch)
