@@ -38,6 +38,9 @@ def main() -> None:
     ap.add_argument("--n-salts", type=int, default=8)
     ap.add_argument("--n-groups", type=int, default=8)
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--score-col", default=None,
+                    help="static ranking column → terms.max_score "
+                    "(enables rank_tokens_by=max_score at query time)")
     args = ap.parse_args()
 
     from typesense_spark import get_spark
@@ -64,6 +67,7 @@ def main() -> None:
         block_size=args.block_size,
         salt_threshold=args.salt_threshold,
         n_salts=args.n_salts,
+        **({"score_col": args.score_col} if args.score_col else {}),
     )
     with open(f"{args.out}/manifest.json") as f:
         manifest = json.load(f)

@@ -27,7 +27,16 @@ def main() -> None:
     ap.add_argument("--num-typos", type=int, default=2)
     ap.add_argument("--prefix", action="store_true")
     ap.add_argument("--mode", default="and", choices=["and", "or"])
-    ap.add_argument("--filter", default=None)
+    ap.add_argument("--filter", default=None, help="raw SQL WHERE over docs")
+    ap.add_argument("--filter-by", default=None, help="reference filter DSL")
+    ap.add_argument("--typo-distance", default="levenshtein",
+                    choices=["levenshtein", "osa"])
+    ap.add_argument("--rank-tokens-by", default="frequency",
+                    choices=["frequency", "max_score"])
+    ap.add_argument("--weights", default="",
+                    help="comma ints parallel to --fields (query_by_weights)")
+    ap.add_argument("--synonyms-json", default=None,
+                    help='JSON list of {"id","root":[..],"synonyms":[[..],..]}')
     ap.add_argument("--facet-by", default="")
     ap.add_argument("--group-by", default="")
     ap.add_argument("--group-limit", type=int, default=3)
@@ -45,6 +54,20 @@ def main() -> None:
 
     spark = get_spark(app_name="typesense-spark-search")
     ix = load_checkpointed(spark, args.index)
+    syn_store = None
+    if args.synonyms_json:
+        from typesense_spark.search.synonyms import SynonymRule, SynonymStore
+
+        syn_store = SynonymStore(
+            [
+                SynonymRule(
+                    d["id"],
+                    tuple(d.get("root", ())),
+                    tuple(tuple(s) for s in d.get("synonyms", ())),
+                )
+                for d in json.loads(args.synonyms_json)
+            ]
+        )
     req = SearchRequest(
         q=args.q,
         fields=tuple(args.fields.split(",")),
@@ -52,6 +75,11 @@ def main() -> None:
         num_typos=args.num_typos,
         prefix_last=args.prefix,
         filter_expr=args.filter,
+        filter_by=args.filter_by,
+        typo_distance=args.typo_distance,
+        rank_tokens_by=args.rank_tokens_by,
+        query_by_weights=tuple(int(w) for w in args.weights.split(",") if w),
+        synonym_store=syn_store,
         facet_by=tuple(args.facet_by.split(",")) if args.facet_by else (),
         group_by=tuple(args.group_by.split(",")) if args.group_by else (),
         group_limit=args.group_limit,
@@ -70,7 +98,7 @@ def main() -> None:
             ).collect()
         }
         for h in hits:
-            h["snippet"] = highlight(contents.get(h["doc_id"], ""), terms)
+            h["snippet"] = highlight(contents.get(h["doc_id"], ""), terms)["snippet"]
     out = {
         "q": args.q,
         "found": res.found,
