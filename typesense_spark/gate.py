@@ -397,6 +397,35 @@ def q_delete_rebuild(spark, sf_dir):
     )
 
 
+def q_upsert_rebuild(spark, sf_dir):
+    """S8: checkpointed build → upsert docs 0..4 with replacement text
+    (one brand-new term) → decoded postings must equal the tf relation
+    of the MODIFIED corpus exactly, including the new term appended to
+    the frozen dictionary."""
+    import tempfile
+
+    from typesense_spark.index.checkpoint import checkpointed_build, load_checkpointed
+    from typesense_spark.index.maintain import upsert_docs
+
+    docs = _docs(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="ts_upsert_")
+    checkpointed_build(
+        spark, docs, out, fields=["text"], id_col="doc_id", n_groups=2,
+        num_buckets=8, block_size=64,
+    )
+    new_rows = spark.createDataFrame(
+        [(i, "merge zzglorp merge") for i in range(5)],
+        schema="doc_id long, text string",
+    )
+    upsert_docs(spark, out, new_rows, key_cols=["doc_id"], fields=["text"])
+    ix = load_checkpointed(spark, out)
+    return (
+        ix.decoded(["merge", "zzglorp", "table"], ["text"])
+        .select("term", "doc_id", "tf")
+        .orderBy("term", "doc_id")
+    )
+
+
 def q_facet_counts(spark, sf_dir):
     """Q17/Q19: facet counting over the full matched set."""
     res = _search(spark, sf_dir, q="merge", num_typos=0, facet_by=("lang",))
@@ -628,6 +657,7 @@ QUERIES = {
     "facet_stats": q_facet_stats,
     "export": q_export,
     "delete_rebuild": q_delete_rebuild,
+    "upsert_rebuild": q_upsert_rebuild,
     "grouped": q_grouped,
     "pagination": q_pagination,
     "wand_or": q_wand,
@@ -776,6 +806,21 @@ def build_oracles() -> dict[str, str]:
         _PRELUDE
         + " SELECT term, doc_id, tf FROM tf "
         "WHERE term IN ('table', 'merge') AND doc_id >= 10 "
+        "ORDER BY term, doc_id"
+    )
+    # upsert oracle: the same pinned tokenize→tf pipeline over the
+    # MODIFIED corpus (docs 0..4 replaced)
+    o["upsert_rebuild"] = (
+        _PRELUDE.replace(
+            "WITH rawtok",
+            # `FROM documents d` (aliased) so the tokenizer-side
+            # `FROM documents)` replace below can't touch this CTE
+            "WITH documents2 AS (SELECT doc_id, CASE WHEN doc_id < 5 "
+            "THEN 'merge zzglorp merge' ELSE text END AS text FROM documents d), "
+            "rawtok",
+        ).replace("FROM documents)", "FROM documents2)")
+        + " SELECT term, doc_id, tf FROM tf "
+        "WHERE term IN ('merge', 'zzglorp', 'table') "
         "ORDER BY term, doc_id"
     )
     o["facet_stats"] = (
