@@ -113,14 +113,18 @@ def ngram_jaccard_pairs(
     if max_shingle_df is not None:
         # the HOT-shingle list is tiny by definition (df > K); a groupBy
         # with map-side combine producing it + a broadcast anti-join is
-        # far cheaper than a count window over every shingle row
+        # far cheaper than a count window over every shingle row. The
+        # driver-side count doubles as a skip: clean corpora (no hot
+        # shingles) pay one agg over the cached shingles and nothing else
         hot = (
             sh.groupBy("shingle")
             .agg(F.count("*").alias("_df"))
             .where(F.col("_df") > max_shingle_df)
             .select("shingle")
+            .persist()
         )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        if hot.count():
+            sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     inter = (
         sh.alias("a")
