@@ -222,3 +222,25 @@ def test_cosine_dup_pairs_cell_bucketed(spark):
     }
     assert bucketed <= exact  # bucketing only prunes
     assert exact and len(bucketed) / len(exact) >= 0.9  # high recall here
+
+
+def test_duplicate_clusters_min_label(spark):
+    """Chains collapse to the component min; separate components keep
+    their own min; direction and duplication of pairs don't matter."""
+    pairs = spark.createDataFrame(
+        [(5, 3), (3, 9), (9, 12), (20, 21), (21, 20)],
+        schema="doc_a long, doc_b long",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.duplicate_clusters(pairs).collect()
+    }
+    assert got == {3: 3, 5: 3, 9: 3, 12: 3, 20: 20, 21: 20}
+
+
+def test_duplicate_clusters_on_planted_dups(spark, corpus_rows):
+    df, _ = _docs_with_dups(spark, corpus_rows)
+    pairs = dedup.lsh_candidate_pairs(df, "text")
+    clusters = dedup.duplicate_clusters(pairs).collect()
+    by_doc = {r["doc_id"]: r["cluster_id"] for r in clusters}
+    assert by_doc[1000] == 0 and by_doc[0] == 0  # exact dup pair clusters

@@ -518,6 +518,17 @@ def q_dedup_minhash(spark, sf_dir):
     ).orderBy("doc_a", "doc_b")
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTER assignment: connected components over the LSH
+    candidate pairs (min-label propagation; cluster = smallest doc_id
+    in the component) — the keep/drop decision step of a dedup
+    pipeline."""
+    from typesense_spark.ops.dedup import duplicate_clusters, lsh_candidate_pairs
+
+    pairs = lsh_candidate_pairs(_docs(spark, sf_dir), "text", use_hash_ids=False)
+    return duplicate_clusters(pairs).orderBy("doc_id")
+
+
 def q_dedup_simhash(spark, sf_dir):
     from typesense_spark.ops.dedup import simhash_fingerprints
 
@@ -667,6 +678,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_minhash": q_dedup_minhash,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
     "embed_dup": q_embed_dup,
     "ann_topk": q_ann_topk,
@@ -887,7 +899,7 @@ def build_oracles() -> dict[str, str]:
     perms_values = ", ".join(
         f"({i}, {a}::BIGINT, {b}::BIGINT)" for i, (a, b) in enumerate(MINHASH_PERMS)
     )
-    o["dedup_minhash"] = (
+    _minhash_body = (
         _PRELUDE
         + _sh
         + ", sid AS (SELECT doc_id, CAST(dense_rank() OVER (ORDER BY shingle) AS BIGINT) AS sid FROM sh)"
@@ -897,9 +909,26 @@ def build_oracles() -> dict[str, str]:
         f", bands AS (SELECT doc_id, perm_id // {LSH_BAND_SIZE} AS band_id, "
         "string_agg(format('{:d}:{:d}', perm_id, minhash), ',' ORDER BY format('{:d}:{:d}', perm_id, minhash)) AS band_key "
         "FROM sig GROUP BY 1, 2)"
-        " SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+    )
+    o["dedup_minhash"] = (
+        _minhash_body
+        + " SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
         "FROM bands a JOIN bands b USING (band_id, band_key) WHERE a.doc_id < b.doc_id "
         "ORDER BY doc_a, doc_b"
+    )
+    # connected components over the SAME candidate pairs: recursive
+    # reachability closure, cluster = min reachable id (mirrors
+    # ops.dedup.duplicate_clusters' min-label fixpoint)
+    o["dedup_clusters"] = (
+        _minhash_body.replace("WITH rawtok", "WITH RECURSIVE rawtok")
+        + ", prs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "FROM bands a JOIN bands b USING (band_id, band_key) WHERE a.doc_id < b.doc_id)"
+        ", e AS (SELECT doc_a AS a, doc_b AS b FROM prs "
+        "UNION ALL SELECT doc_b, doc_a FROM prs)"
+        ", reach AS (SELECT DISTINCT a AS id, a AS r FROM e "
+        "UNION SELECT e.a, reach.r FROM e JOIN reach ON reach.id = e.b)"
+        " SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1 "
+        "ORDER BY doc_id"
     )
     o["dedup_simhash"] = (
         _PRELUDE

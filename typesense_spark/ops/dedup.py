@@ -343,3 +343,60 @@ def simhash_pairs(
         .distinct()  # a pair can collide on several chunks
     )
     return cand
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    col_a: str = "doc_a",
+    col_b: str = "doc_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Near-dup pairs → (doc_id, cluster_id): connected components with
+    cluster_id = the smallest doc_id in the component — the step that
+    turns candidate pairs into keep/drop decisions (keep doc_id ==
+    cluster_id, drop the rest) in a training-data dedup pipeline.
+
+    Algorithm: alternating min-label propagation — every node starts
+    labeled with its own id; each round every node takes the min label
+    across itself and its neighbors; converged when no label changes.
+    Rounds are bounded by the component diameter (near-dup clusters are
+    shallow); each round is one join + one map-side-combinable min agg,
+    with localCheckpoint cutting the iterative lineage (the standard
+    Spark connected-components shape; driver loop only carries a
+    changed-row count per round). Only docs appearing in ≥1 pair are
+    emitted (singletons need no cluster).
+    """
+    edges = (
+        pairs.select(F.col(col_a).alias("src"), F.col(col_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(col_b).alias("src"), F.col(col_a).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        prop = edges.join(
+            labels.withColumnRenamed("doc_id", "dst"), "dst"
+        ).select(F.col("src").alias("doc_id"), "label")
+        new_labels = (
+            prop.unionByName(labels)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
