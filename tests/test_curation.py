@@ -118,3 +118,17 @@ def test_search_with_override_store(built_index):
         ),
     )
     assert [tuple(r) for r in res2.hits.collect()] == [tuple(r) for r in base_rows]
+
+
+def test_cross_rule_drop_retracts_add():
+    """A later-sorted rule's drop must retract an earlier rule's add —
+    exclusion takes precedence over inclusion across rules, not just
+    within one."""
+    store = OverrideStore(
+        [
+            OverrideRule("a-add", "q", "exact", add_hits=((9, 1),)),
+            OverrideRule("b-drop", "q", "exact", drop_hits=(9,)),
+        ]
+    )
+    pinned, hidden = store.resolve("q")
+    assert pinned == {} and hidden == (9,)

@@ -232,3 +232,18 @@ def test_rank_tokens_by_max_score_parity(spark):
     assert "merga" in dict(by_score["merg"])  # high-score candidate kept
     assert "merga" not in dict(by_freq["merg"])  # frequency cap drops it
     assert by_score != by_freq
+
+
+def test_spark_expand_empty_tokens(built_index):
+    """Exclusion-only / empty queries must behave identically on the
+    Spark-expansion route (no crash, empty result)."""
+    from typesense_spark.search.engine import SearchRequest, search
+
+    built_index.expand_collect_threshold = 0
+    try:
+        res = search(
+            built_index, SearchRequest(q="-import", fields=("content",), num_typos=0)
+        )
+        assert res.hits.count() == 0
+    finally:
+        del built_index.expand_collect_threshold

@@ -604,33 +604,45 @@ def build_index(
         docs = docs.withColumn("doc_id", F.col(id_col).cast("long"))
     docs = docs.withColumn("doc_id", F.col("doc_id").cast("long"))
 
-    # B5: string-array fields are pre-joined to one token stream with a
-    # POSITION-GAP sentinel between elements: the joiner's NUL tokens
-    # normalize to '' (keep_empty — they consume positions but are never
-    # emitted), so consecutive elements sit > WINDOW_SIZE positions
-    # apart and proximity windows can never span an element boundary —
-    # matching the reference's per-element Match evaluation
+    # B5: string-array fields tokenize from a TOKENIZER-ONLY view where
+    # elements are joined with a POSITION-GAP sentinel: the joiner's NUL
+    # tokens normalize to '' (keep_empty — they consume positions but
+    # are never emitted), so consecutive elements sit > WINDOW_SIZE
+    # positions apart and proximity windows can never span an element
+    # boundary — matching the reference's per-element Match evaluation
     # (src/index.cpp:558-606, populate_token_positions) while keeping
-    # tf/df joint across elements (pinned; tested).
+    # tf/df joint across elements (pinned; tested). The STORED docs
+    # table keeps the original array (hydration/exports/snippets must
+    # never see the sentinel bytes).
     schema_types = dict(docs.dtypes)
-    for fld in fields:
-        if schema_types.get(fld, "").startswith("array"):
-            docs = docs.withColumn(
-                fld, F.array_join(F.col(fld), " " + "\x00 " * 11)
-            )
+    array_fields = [
+        fld for fld in fields if schema_types.get(fld, "").startswith("array")
+    ]
 
     # B3: per-row content invariant vs the source (input_hint:
-    # "content sha256 equality"), carried on the docs table
+    # "content sha256 equality"), carried on the docs table; array
+    # content hashes its plain-joined logical string
     if "content" in docs.columns and "content_sha" not in docs.columns:
-        docs = docs.withColumn("content_sha", F.sha2(F.col("content"), 256))
+        content_str = (
+            F.array_join(F.col("content"), " ")
+            if "content" in array_fields
+            else F.col("content")
+        )
+        docs = docs.withColumn("content_sha", F.sha2(content_str, 256))
 
     if persist:
         # docs feed both tokenize passes + query-time joins
         docs = docs.persist()
 
+    tok_docs = docs
+    for fld in array_fields:
+        tok_docs = tok_docs.withColumn(
+            fld, F.array_join(F.col(fld), " " + "\x00 " * 11)
+        )
+
     def _tf(with_positions: bool) -> DataFrame:
         parts = [
-            docs.select("doc_id", fld).mapInPandas(
+            tok_docs.select("doc_id", fld).mapInPandas(
                 tokenize_mapper(fld, with_positions), schema=TF_SCHEMA
             )
             for fld in fields

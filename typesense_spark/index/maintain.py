@@ -214,6 +214,26 @@ def upsert_docs(
         )
         .join(existing_terms.select("field", "term"), ["field", "term"], "left_anti")
     )
+    if "max_score" in existing_terms.columns:
+        # keep the dictionary schema intact (appending files without
+        # max_score silently forks the parquet schema and breaks
+        # rank_tokens_by='max_score'); compute it batch-locally when the
+        # build's score_col is known, else 0 (ranks last)
+        sc = build_kw.get("score_col")
+        if sc and sc in incoming.columns:
+            msc = (
+                tf_inc.join(
+                    incoming.select("doc_id", F.col(sc).cast("long").alias("_sc")),
+                    "doc_id",
+                )
+                .groupBy("field", "term")
+                .agg(F.max("_sc").alias("max_score"))
+            )
+            new_terms = new_terms.join(msc, ["field", "term"], "left").withColumn(
+                "max_score", F.coalesce("max_score", F.lit(0))
+            )
+        else:
+            new_terms = new_terms.withColumn("max_score", F.lit(0).cast("long"))
     n_new_terms = new_terms.count()
     if n_new_terms:
         new_terms.write.mode("append").parquet(terms_path)

@@ -18,6 +18,13 @@ Scale notes (10^12-doc target):
 - LSH banding turns the O(n²) pair space into per-bucket joins; the
   bucket join is a plain equi-join Spark shuffles on band key, with
   AQE skew splitting if a bucket is hot.
+
+Cache contract: pair operators persist their self-joined intermediates
+(shingles / band keys / fingerprints — narrow, bytes per doc) because
+the returned DataFrame reads them more than once. They stay cached for
+the session (Spark evicts LRU under pressure); a long-lived driver
+running many corpora should `spark.catalog.clearCache()` between
+sweeps or materialize + unpersist.
 """
 
 from __future__ import annotations
@@ -399,4 +406,13 @@ def duplicate_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # silently returning intermediate labels would split a component
+        # into several "clusters" — fail loudly instead
+        edges.unpersist()
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iters} rounds "
+            "(component diameter exceeds max_iters); raise max_iters"
+        )
+    edges.unpersist()
     return labels.select("doc_id", F.col("label").alias("cluster_id"))

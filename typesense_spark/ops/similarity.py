@@ -162,7 +162,11 @@ def kmeans_cells(
         )
         cent_rows = _mean_centroids(assign, "cell").collect()
         cent_rows = [{"cell": r["cell"], "cvec": r["cvec"]} for r in cent_rows]
-    return assign.select("vec_id", "cell")
+    # materialize the final assignment, then release the vector cache —
+    # persisted inputs otherwise pin executor storage for the session
+    out = assign.select("vec_id", "cell").localCheckpoint()
+    base.unpersist()
+    return out
 
 
 def ivf_topk(

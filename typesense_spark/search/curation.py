@@ -91,8 +91,13 @@ class OverrideStore:
                 continue
             excluded.extend(rule.drop_hits)
             for doc_id, pos in rule.add_hits:
-                if doc_id not in excluded and doc_id not in placements:
+                if doc_id not in placements:
                     placements[doc_id] = pos
+        # exclusion takes precedence over inclusion ACROSS rules too: a
+        # later-sorted rule's drop retracts an earlier rule's add (else
+        # the doc would come back both pinned and hidden, and the splice
+        # would force-include it)
+        placements = {d: p for d, p in placements.items() if d not in excluded}
         for doc_id, pos in (pinned or {}).items():
             if doc_id not in excluded:
                 placements[doc_id] = pos  # explicit pins win

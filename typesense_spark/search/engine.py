@@ -364,16 +364,22 @@ def search(index: Index, req: SearchRequest) -> SearchResult:
     if req.override_store is not None:
         pinned, hidden = req.override_store.resolve(req.q, req.pinned, req.hidden)
 
-    # WAND soundness: the pruning threshold tau is computed over the
-    # UNFILTERED corpus, so pruning is only exact when nothing narrows
-    # the candidate set afterwards and the requested page fits in the
-    # prune budget — otherwise fall back to the exhaustive plan
-    # (ADVICE r1: filtered top-k docs can score below tau)
+    # WAND soundness: the pruning threshold tau is a BM25 bound over the
+    # unfiltered corpus, so pruning is exact ONLY when (a) nothing
+    # narrows the candidate set afterwards, (b) BM25 is the primary
+    # order (an attribute sort or proximity re-rank could promote a
+    # pruned doc), (c) no consumer needs the FULL matched set (facets /
+    # stats / grouping / found are documented as full-set), and (d) the
+    # requested page fits in the prune budget. Otherwise fall back to
+    # the exhaustive plan. Under WAND, `found` is a lower bound.
     use_wand = (
         req.use_wand
         and req.mode == "or"
         and not (req.filter_expr or req.filter_by or hidden or excludes)
         and not req.query_by_weights  # block maxima are unweighted
+        and not req.sort_by
+        and not req.rerank_proximity
+        and not (req.facet_by or req.facet_stats_for or req.group_by)
         and req.page * req.per_page <= MAX_HITS
     )
     if req.query_by_weights and len(req.query_by_weights) != len(req.fields):

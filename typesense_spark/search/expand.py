@@ -227,6 +227,8 @@ def expand_query_spark(
     a handful of rows), never the dictionary itself. This is the
     default query path once the dictionary exceeds the driver-collect
     threshold (engine._get_term_df scale note)."""
+    if not tokens:
+        return {}  # e.g. q='' or exclusion-only queries — match driver path
     branches = [
         expand_terms_spark(
             terms_df, tok, num_typos,

@@ -135,7 +135,11 @@ def proximity_rescore(index, doc_ids_df, terms: list[str], fields: list[str]):
             for tp in tp_list:
                 cur = plists.setdefault(int(tp["tid"]), [])
                 cur.extend(int(x) for x in tp["positions"])
-            present = [sorted(v) for v in plists.values() if v]
+            # iterate in tid (query) order: collect_list arrival order is
+            # nondeterministic, and match_window caps at the first 10
+            # term lists — unordered iteration would make scores vary
+            # across runs for docs matching >10 terms
+            present = [sorted(v) for _tid, v in sorted(plists.items()) if v]
             out.append(packed_match_score(present))
         return pd.Series(out, dtype="int64")
 

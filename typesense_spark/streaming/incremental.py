@@ -112,14 +112,15 @@ def stream_dedup(
     """Streaming exact dedup: drop documents whose content hash was
     already seen within the watermark horizon — the streaming twin of
     ops.dedup.exact_duplicates, and the front gate of a streaming
-    training-data pipeline. State is bounded by the watermark (Spark
-    evicts hashes older than the horizon); an unbounded exact-dedup
-    needs the batch job instead."""
+    training-data pipeline. Uses ``dropDuplicatesWithinWatermark`` so
+    the state store actually EVICTS hashes older than the horizon
+    (plain ``dropDuplicates`` on a non-event-time key keeps state
+    forever); an unbounded exact-dedup needs the batch job instead."""
     return (
         docs_stream.withColumn("text_hash", F.md5(F.col(text_col)))
         .withColumn(watermark_col, F.col(watermark_col).cast("timestamp"))
         .withWatermark(watermark_col, watermark)
-        .dropDuplicates(["text_hash"])
+        .dropDuplicatesWithinWatermark(["text_hash"])
     )
 
 
