@@ -59,3 +59,40 @@ def test_spark_matches_python_on_corpus(spark, corpus_df):
     for r in rows:
         expected = sorted((p, t) for t, p in tokenize(r["content"]))
         assert sorted(got.get(r["doc_id"], [])) == expected
+
+
+def test_ascii_fast_path_equals_slow_path():
+    """The whole-string-strip fast path must equal the per-token path
+    on adversarial ASCII: tabs/CR inside tokens, punctuation-only
+    tokens, leading/trailing/double separators."""
+    import re
+
+    from typesense_spark.tokenizer import tokenize
+
+    def slow(text):
+        out = []
+        for pos, raw in enumerate(re.split(r"[ \n]", text)):
+            term = re.sub(r"[^a-z0-9]", "", raw.lower())
+            if term:
+                out.append((term, pos))
+        return out
+
+    cases = [
+        "",
+        " ",
+        "  double  spaces ",
+        "tab\tinside token",
+        "carriage\rreturn and\nnewline",
+        "(free) c++ -flag #tag 100%",
+        "UPPER Mixed lower 123",
+        "!!! ??? ...",
+        "a\nb\nc",
+        "trailing \n",
+    ]
+    import random
+
+    rng = random.Random(11)
+    alphabet = "ab C1.,!-\t\r \n(){}+#"
+    cases += ["".join(rng.choice(alphabet) for _ in range(60)) for _ in range(300)]
+    for t in cases:
+        assert tokenize(t) == slow(t), repr(t)
