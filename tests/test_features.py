@@ -305,3 +305,35 @@ def test_export_documents_jsonl_roundtrip(built_index, tmp_path):
     for obj in lines:
         assert set(obj) == {"doc_id", "content", "lang"}
         assert obj["lang"] == "py" and want[obj["doc_id"]] == obj["content"]
+
+
+def test_typo_tokens_threshold_deepening(built_index):
+    """Iterative cost deepening: when close matches satisfy the
+    threshold, costlier typo candidates never join the match set; when
+    they don't, deepening proceeds to the full expansion (= the
+    threshold-disabled result)."""
+    # 'impor' cost-1 reaches 'import' (matches many docs) → with a low
+    # threshold the cost-2 candidates are never searched
+    lo = search(
+        built_index,
+        SearchRequest(q="impor", fields=("content",), num_typos=2,
+                      typo_tokens_threshold=5),
+    )
+    full = search(
+        built_index, SearchRequest(q="impor", fields=("content",), num_typos=2)
+    )
+    cost1 = search(
+        built_index, SearchRequest(q="impor", fields=("content",), num_typos=1)
+    )
+    assert [tuple(r) for r in lo.hits.collect()] == [
+        tuple(r) for r in cost1.hits.collect()
+    ]
+    # an unreachable threshold deepens all the way → identical to full
+    hi = search(
+        built_index,
+        SearchRequest(q="impor", fields=("content",), num_typos=2,
+                      typo_tokens_threshold=10**6),
+    )
+    assert [tuple(r) for r in hi.hits.collect()] == [
+        tuple(r) for r in full.hits.collect()
+    ]

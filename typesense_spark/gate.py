@@ -253,6 +253,17 @@ def q_typo_osa(spark, sf_dir):
     )
 
 
+def q_typo_threshold(spark, sf_dir):
+    """Q3/Q4 typo_tokens_threshold: 'merg' has no exact match but its
+    cost-1 correction ('merge') matches far more than 10 docs, so
+    deepening stops at cost 1 — the oracle is the cost≤1 expansion
+    (reference stops enumerating costlier suggestions once results
+    reach the threshold, src/index.cpp:947-950)."""
+    return _hits(
+        _search(spark, sf_dir, q="merg", num_typos=2, typo_tokens_threshold=10)
+    )
+
+
 def q_typo_max_score(spark, sf_dir):
     """Q3/Q5 rank_tokens_by=MAX_SCORE: typo candidates ranked by the
     max static score (n_chars) of their docs instead of df
@@ -655,6 +666,7 @@ QUERIES = {
     "exclusion": q_exclusion,
     "typo": q_typo,
     "typo_osa": q_typo_osa,
+    "typo_threshold": q_typo_threshold,
     "typo_max_score": q_typo_max_score,
     "prefix": q_prefix,
     "drop_tokens": q_drop_tokens,
@@ -717,6 +729,8 @@ def build_oracles() -> dict[str, str]:
         + _hits_sql().replace("FROM scored)", "FROM scored2)")
     )
     o["typo"] = bm25_oracle(["merg"], num_typos=2)
+    # deepening stops at cost 1 (see q_typo_threshold docstring)
+    o["typo_threshold"] = bm25_oracle(["merg"], num_typos=1)
     o["typo_osa"] = bm25_oracle(
         ["mrege"], num_typos=1, distfn="damerau_levenshtein"
     )

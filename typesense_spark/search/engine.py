@@ -65,6 +65,17 @@ class SearchRequest:
     group_limit: int = 3  # reference: src/core_api.cpp:376
     num_typos: int = 2  # reference: src/core_api.cpp:295
     prefix_last: bool = False  # reference default true; pinned opt-in
+    # Q3/Q4 typo_tokens_threshold (reference Index::TYPO_TOKENS_THRESHOLD
+    # = 100; search_candidates stops once results reach it,
+    # src/index.cpp:947-950). Pinned Spark adaptation: iterative COST
+    # deepening — score candidates of cost ≤ c for ascending c and stop
+    # as soon as the match count reaches the threshold (coarser than the
+    # reference's per-combination break — combination enumeration is
+    # driver control flow a set engine shouldn't do — same user
+    # contract: typo corrections surface only when closer matches are
+    # scarce). None (pinned default) disables deepening: all candidate
+    # costs score in one pass, which is what every oracle models.
+    typo_tokens_threshold: int | None = None
     # typo metric: pinned default 'levenshtein' (Spark/DuckDB builtin
     # parity); 'osa' matches the reference's Damerau-OSA traversal
     # (transpositions cost 1, src/art.cpp:1149-1177)
@@ -429,8 +440,33 @@ def search(index: Index, req: SearchRequest) -> SearchResult:
                 .agg(F.max("score_milli").alias("score_milli"))
             )
 
+        def _restrict(cand: dict, c: int) -> dict:
+            return {
+                tok: [(t, cost) for t, cost in lst if cost <= c]
+                for tok, lst in cand.items()
+            }
+
         for attempt in plan:
             cand = _expand(attempt)
+            if req.typo_tokens_threshold is not None and req.num_typos > 0:
+                max_cost = max(
+                    (cost for lst in cand.values() for _, cost in lst), default=0
+                )
+                for c in range(0, max_cost):
+                    cand_c = _restrict(cand, c)
+                    if cand_c == cand:
+                        break  # nothing beyond cost c anyway
+                    s = _score_tokens(
+                        index, attempt, cand_c, req.fields, req.mode, use_wand,
+                        req.query_by_weights,
+                    )
+                    if (
+                        s is not None
+                        and s.limit(req.typo_tokens_threshold).count()
+                        >= req.typo_tokens_threshold
+                    ):
+                        cand = cand_c  # enough close matches — stop deepening
+                        break
             for tok, alts in (req.synonyms or {}).items():
                 if tok in cand:
                     # driver path can cheaply drop alternates absent from
