@@ -98,3 +98,27 @@ def test_result_partition_invariance(spark, corpus_df, built_index):
         for r in decode_postings(built_index.postings).collect()
     }
     assert tf3 == tf8
+
+
+def test_save_load_roundtrip_search_identity(built_index, tmp_path):
+    """Index.save → Index.load must preserve search results exactly
+    (stats, dictionary incl. optional columns, postings, docs)."""
+    from typesense_spark.index.build import Index
+    from typesense_spark.search import SearchRequest, search
+
+    out = str(tmp_path / "saved_ix")
+    built_index.save(out)
+    loaded = Index.load(built_index.spark, out)
+    for kw in [
+        dict(q="import return", num_typos=0),
+        dict(q="retur", num_typos=2),
+        dict(q="*", sort_by=(("lang", "asc"),), include_fields=("lang",)),
+    ]:
+        a = search(built_index, SearchRequest(fields=("content",), **kw)).hits.collect()
+        b = search(loaded, SearchRequest(fields=("content",), **kw)).hits.collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b], kw
+    assert loaded.stats.keys() == built_index.stats.keys()
+    for k in loaded.stats:
+        assert (loaded.stats[k].n_docs, loaded.stats[k].sum_dl) == (
+            built_index.stats[k].n_docs, built_index.stats[k].sum_dl,
+        )
