@@ -19,7 +19,6 @@ def _numpy_contrib(tfs, dls, dfs, n_docs, avgdl):
 
 
 def test_jvm_contrib_matches_numpy(spark):
-    n_docs, avgdl = 100_000, 269.557
     sweep = [
         (tf, dl, df)
         for tf in [1, 2, 3, 5, 8, 13, 100, 1000]
@@ -33,18 +32,21 @@ def test_jvm_contrib_matches_numpy(spark):
             (F.pmod(F.xxhash64("id", F.lit(2)), 99_999) + 1).alias("df"),
         )
     )
-    got = df.withColumn(
-        "c",
-        scoring.spark_contrib_expr(
-            F.col("tf"), F.col("dl"), F.col("df"), n_docs, avgdl
-        ),
-    ).toPandas()
-    want = _numpy_contrib(
-        got["tf"].to_numpy(np.int64),
-        got["dl"].to_numpy(np.int64),
-        got["df"].to_numpy(np.int64),
-        n_docs,
-        avgdl,
-    )
-    mism = int((want != got["c"].to_numpy()).sum())
-    assert mism == 0, f"{mism} JVM/numpy contrib mismatches"
+    # multiple corpus-stat regimes: tiny index, the bench shape, a
+    # web-scale-ish N, and a fractional avgdl that stresses the division
+    for n_docs, avgdl in [(50, 12.0), (100_000, 269.557), (10**9, 417.3331)]:
+        got = df.withColumn(
+            "c",
+            scoring.spark_contrib_expr(
+                F.col("tf"), F.col("dl"), F.col("df"), n_docs, avgdl
+            ),
+        ).toPandas()
+        want = _numpy_contrib(
+            got["tf"].to_numpy(np.int64),
+            got["dl"].to_numpy(np.int64),
+            got["df"].to_numpy(np.int64),
+            n_docs,
+            avgdl,
+        )
+        mism = int((want != got["c"].to_numpy()).sum())
+        assert mism == 0, f"{mism} mismatches at n_docs={n_docs}, avgdl={avgdl}"
