@@ -337,3 +337,31 @@ def test_typo_tokens_threshold_deepening(built_index):
     assert [tuple(r) for r in hi.hits.collect()] == [
         tuple(r) for r in full.hits.collect()
     ]
+
+
+def test_typo_threshold_counts_filtered_results(spark):
+    """Deepening must count results as the USER sees them (after
+    filters): when the cost-1 correction matches plenty of docs overall
+    but almost none inside the filter, the engine keeps deepening."""
+    from typesense_spark.index import build_index
+
+    rows = [(i, "aab common filler", "en") for i in range(30)]
+    rows += [(100 + i, "aacc rare py", "py") for i in range(3)]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string, lang string")
+    ix = build_index(spark, df, fields=["text"], id_col="doc_id", num_buckets=2)
+    res = search(
+        ix,
+        SearchRequest(
+            q="aaa", fields=("text",), num_typos=2, typo_tokens_threshold=5,
+            filter_by="lang := py",
+        ),
+    )
+    got = {r["doc_id"] for r in res.hits.collect()}
+    assert got == {100, 101, 102}  # cost-2 'aacc' docs found despite 30 cost-1 hits
+    # and without a filter the same threshold stops at cost 1
+    res2 = search(
+        ix,
+        SearchRequest(q="aaa", fields=("text",), num_typos=2, typo_tokens_threshold=5),
+    )
+    got2 = {r["doc_id"] for r in res2.hits.collect()}
+    assert got2 and got2.isdisjoint({100, 101, 102})

@@ -396,6 +396,20 @@ def search(index: Index, req: SearchRequest) -> SearchResult:
     if req.query_by_weights and len(req.query_by_weights) != len(req.fields):
         raise ValueError("query_by_weights must be parallel to fields")
 
+    # Q9 keep-set, built once: reused by the final semi-join AND by the
+    # typo-deepening result counts (the reference counts results AFTER
+    # filter intersection, src/index.cpp search_candidates)
+    keep_ids = None
+    if req.filter_expr or req.filter_by:
+        keep = docs
+        if req.filter_expr:
+            keep = keep.where(req.filter_expr)
+        if req.filter_by:
+            from typesense_spark.search.filters import apply_filter_by
+
+            keep = apply_filter_by(keep, req.filter_by)
+        keep_ids = keep.select("doc_id")
+
     if tokens == ["*"]:
         # Q10 wildcard: doc universe, scored 0, attribute-sorted
         matched = docs.select("doc_id", F.lit(0).cast("long").alias("score_milli"))
@@ -446,26 +460,45 @@ def search(index: Index, req: SearchRequest) -> SearchResult:
                 for tok, lst in cand.items()
             }
 
+        def _narrowed_count(s: DataFrame, limit: int) -> int:
+            """Result count as the USER sees it: excludes, filters, and
+            hidden applied before counting (the reference's threshold
+            compares against filtered results)."""
+            out = _apply_excludes(index, s, excludes, req.fields)
+            if keep_ids is not None:
+                out = out.join(keep_ids, "doc_id", "left_semi")
+            if hidden:
+                out = out.where(~F.col("doc_id").isin(list(hidden)))
+            return out.limit(limit).count()
+
         for attempt in plan:
             cand = _expand(attempt)
+            deep_scored: DataFrame | None = None
             if req.typo_tokens_threshold is not None and req.num_typos > 0:
                 max_cost = max(
                     (cost for lst in cand.values() for _, cost in lst), default=0
                 )
+                prev_c: dict | None = None
                 for c in range(0, max_cost):
                     cand_c = _restrict(cand, c)
                     if cand_c == cand:
                         break  # nothing beyond cost c anyway
+                    if cand_c == prev_c:
+                        continue  # this cost level added no candidates
+                    prev_c = cand_c
+                    # probes run exhaustively: a WAND-pruned set is a
+                    # lower bound and would make the stop decision (and
+                    # thus the results) depend on the optimization flag
                     s = _score_tokens(
-                        index, attempt, cand_c, req.fields, req.mode, use_wand,
+                        index, attempt, cand_c, req.fields, req.mode, False,
                         req.query_by_weights,
                     )
-                    if (
-                        s is not None
-                        and s.limit(req.typo_tokens_threshold).count()
+                    if s is not None and (
+                        _narrowed_count(s, req.typo_tokens_threshold)
                         >= req.typo_tokens_threshold
                     ):
                         cand = cand_c  # enough close matches — stop deepening
+                        deep_scored = s  # reuse: final plan is identical
                         break
             for tok, alts in (req.synonyms or {}).items():
                 if tok in cand:
@@ -476,10 +509,15 @@ def search(index: Index, req: SearchRequest) -> SearchResult:
                         (a, 0) for a in alts if term_df is None or a in term_df
                     ]
                     cand[tok] = sorted(dict(cand[tok] + extra).items())
+                    deep_scored = None  # candidate map changed — rescore
             all_cands.update(cand)
-            scored = _score_tokens(
-                index, attempt, cand, req.fields, req.mode, use_wand,
-                req.query_by_weights,
+            scored = (
+                deep_scored
+                if deep_scored is not None
+                else _score_tokens(
+                    index, attempt, cand, req.fields, req.mode, use_wand,
+                    req.query_by_weights,
+                )
             )
             attempts.append(attempt)
             if scored is not None:
@@ -515,17 +553,10 @@ def search(index: Index, req: SearchRequest) -> SearchResult:
             )
         matched = _apply_excludes(index, matched, excludes, req.fields)
 
-    if req.filter_expr or req.filter_by:
+    if keep_ids is not None:
         # Q9: plain WHERE on docs (Catalyst pushdown) + semi-join;
         # filter_by compiles the reference DSL to the same Column form
-        keep = docs
-        if req.filter_expr:
-            keep = keep.where(req.filter_expr)
-        if req.filter_by:
-            from typesense_spark.search.filters import apply_filter_by
-
-            keep = apply_filter_by(keep, req.filter_by)
-        matched = matched.join(keep.select("doc_id"), "doc_id", "left_semi")
+        matched = matched.join(keep_ids, "doc_id", "left_semi")
 
     if hidden:
         # Q20 hidden hits: excluded before ranking/facets
