@@ -139,3 +139,17 @@ def test_rerank_proximity_in_engine(built_index):
     assert keyed == sorted(keyed, reverse=True) or all(
         keyed[i] >= keyed[i + 1] for i in range(len(keyed) - 1)
     )
+
+
+def test_highlighted_hits_response_shape(built_index):
+    from typesense_spark.search import SearchRequest, search
+
+    res = search(
+        built_index, SearchRequest(q="import return", fields=("content",), num_typos=0)
+    )
+    rows = res.highlighted_hits(built_index, "content", {"import", "return"})
+    assert rows and all("highlight" in r for r in rows)
+    top = rows[0]
+    assert "<mark>" in top["highlight"]["snippet"]
+    assert set(top["highlight"]["matched_tokens"]) <= {"import", "return"}
+    assert top["rank"] == 1 and "score_milli" in top

@@ -13,9 +13,11 @@ bounded by job-scheduling latency (measured in bench.py as
 Semantics per query are identical to ``engine.search`` (same expansion
 spec, same max-per-token scoring, same AND/OR and tie-break rules) —
 asserted against it in tests, and against the DuckDB oracle in the
-gate (``batch_queries``). Drop-tokens fallback is intentionally NOT
-applied in batch mode (it is a per-query control-flow retry; callers
-re-run the few under-threshold queries individually).
+gate (``batch_queries``). Scope (documented): drop-tokens fallback,
+synonym windows, override rules, typo deepening, and per-field weights
+are per-query control-flow features — run those requests through
+``engine.search``; batch mode is the raw-throughput surface (callers
+re-run the few queries that need the richer pipeline individually).
 """
 
 from __future__ import annotations

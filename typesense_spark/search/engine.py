@@ -134,6 +134,33 @@ class SearchResult:
     grouped: DataFrame | None = None
     _found: int | None = None
 
+    def highlighted_hits(
+        self, index: Index, field: str, query_terms: set[str], **hl_kw
+    ) -> list[dict]:
+        """Reference-shaped response rows: the hits page as dicts with a
+        ``highlight`` entry (snippet / matched_tokens / value) computed
+        driver-side over the ≤ per_page winners — the same place the
+        reference shapes its JSON response (src/collection.cpp:960-1040).
+        One hydration collect; match.highlight does the marking."""
+        from typesense_spark.search.match import highlight
+
+        rows = [r.asDict() for r in self.hits.collect()]
+        if not rows:
+            return rows
+        contents = {
+            r["doc_id"]: r[field]
+            for r in index.docs.where(
+                F.col("doc_id").isin([h["doc_id"] for h in rows])
+            )
+            .select("doc_id", field)
+            .collect()
+        }
+        for h in rows:
+            h["highlight"] = highlight(
+                contents.get(h["doc_id"], "") or "", query_terms, **hl_kw
+            )
+        return rows
+
     @property
     def found(self) -> int:
         """Total matched docs — computed lazily (it is its own Spark job;
