@@ -548,6 +548,32 @@ def q_dedup_simhash(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs via the PIGEONHOLE equi-join (the scale
+    path); the oracle computes the same pairs with the quadratic form
+    in SQL — proving the chunked join is exactly equivalent."""
+    from typesense_spark.ops.dedup import simhash_pairs
+
+    return simhash_pairs(
+        _docs(spark, sf_dir), "text", max_hamming=4, use_hash_ids=False
+    ).orderBy("doc_a", "doc_b")
+
+
+def q_ann_ivf_kmeans(spark, sf_dir):
+    """IVF over LEARNED cells (kmeans_cells, farthest-point init) with
+    multi-probe — the production ANN path. No SQL oracle (iterative
+    k-means isn't SQL-expressible); the driver records a rows-only
+    check, and recall ≥0.9 vs brute force is asserted in pytest."""
+    from typesense_spark.ops.similarity import ivf_topk, kmeans_cells
+
+    emb = _emb(spark, sf_dir)
+    cells = kmeans_cells(emb, n_cells=8, n_iters=3)
+    return ivf_topk(
+        emb.join(cells, "vec_id"), query_ids=[0, 1, 2], k=5,
+        cell_col="cell", n_probes=2,
+    ).orderBy("query_id", "rank")
+
+
 def q_embed_dup(spark, sf_dir):
     from typesense_spark.ops.similarity import cosine_dup_pairs
 
@@ -692,9 +718,11 @@ QUERIES = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
+    "simhash_pairs": q_simhash_pairs,
     "embed_dup": q_embed_dup,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
+    "ann_ivf_kmeans": q_ann_ivf_kmeans,
     "langid": q_langid,
     "quality": q_quality,
     "token_counts": q_token_counts,
@@ -944,7 +972,7 @@ def build_oracles() -> dict[str, str]:
         " SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1 "
         "ORDER BY doc_id"
     )
-    o["dedup_simhash"] = (
+    _simhash_body = (
         _PRELUDE
         + ", tid AS (SELECT term, CAST(dense_rank() OVER (ORDER BY term) AS BIGINT) AS tid "
         "FROM (SELECT DISTINCT term FROM tf))"
@@ -952,8 +980,21 @@ def build_oracles() -> dict[str, str]:
         "FROM tf JOIN tid USING (term))"
         f", votes AS (SELECT doc_id, bit, sum(CASE WHEN (h >> bit) & 1 = 1 THEN tf ELSE -tf END) AS v "
         f"FROM th CROSS JOIN range(0, {SIMHASH_BITS}) AS r(bit) GROUP BY 1, 2)"
-        " SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash "
-        "FROM votes GROUP BY 1 ORDER BY doc_id"
+        ", fp AS (SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash "
+        "FROM votes GROUP BY 1)"
+    )
+    o["dedup_simhash"] = (
+        _simhash_body + " SELECT doc_id, simhash FROM fp ORDER BY doc_id"
+    )
+    # the QUADRATIC pair form in SQL proves the engine's pigeonhole
+    # equi-join exactly equivalent
+    o["simhash_pairs"] = (
+        _simhash_body
+        + " SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming "
+        "FROM fp a JOIN fp b ON a.doc_id < b.doc_id "
+        "WHERE bit_count(xor(a.simhash, b.simhash)) <= 4 "
+        "ORDER BY doc_a, doc_b"
     )
     _qv = (
         "qv AS (SELECT vec_id, i AS dim, "
