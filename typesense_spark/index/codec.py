@@ -112,6 +112,47 @@ def varint_encode_split(values: np.ndarray, row_value_counts: np.ndarray) -> lis
     return out
 
 
+def segmented_delta_decode(deltas: np.ndarray, seg_sizes: np.ndarray) -> np.ndarray:
+    """Concatenated per-segment ``[first, gap-1, gap-1, ...]`` id streams
+    → absolute ids, vectorized across ALL segments at once (one cumsum +
+    one repeat — no per-segment Python loop). The inverse of what the
+    pack stage writes per block; the query-side batch decoder feeds it
+    the whole Arrow batch's id stream with ``seg_sizes = n_docs`` per
+    block."""
+    d = np.asarray(deltas, dtype=np.uint64)
+    sizes = np.asarray(seg_sizes, dtype=np.int64)
+    if d.size == 0:
+        return d
+    if sizes.min() <= 0:
+        raise ValueError("segments must be non-empty")
+    starts = np.zeros(d.size, dtype=bool)
+    starts[0] = True
+    starts[np.cumsum(sizes)[:-1]] = True
+    adj = d.copy()
+    adj[~starts] += np.uint64(1)
+    cs = np.cumsum(adj, dtype=np.uint64)
+    start_idx = np.flatnonzero(starts)
+    base = cs[start_idx] - adj[start_idx]
+    return cs - np.repeat(base, sizes)
+
+
+def segmented_cumsum(vals: np.ndarray, seg_sizes: np.ndarray) -> np.ndarray:
+    """Per-segment cumulative sum over one flat value stream — the
+    position-stream decode (``[first, diff, diff, ...]`` per doc),
+    vectorized across every doc of an Arrow batch."""
+    v = np.asarray(vals, dtype=np.uint64)
+    sizes = np.asarray(seg_sizes, dtype=np.int64)
+    if v.size == 0:
+        return v
+    if sizes.min() <= 0:
+        raise ValueError("segments must be non-empty")
+    cs = np.cumsum(v, dtype=np.uint64)
+    start_idx = np.zeros(sizes.size, dtype=np.int64)
+    np.cumsum(sizes[:-1], out=start_idx[1:])
+    base = cs[start_idx] - v[start_idx]
+    return cs - np.repeat(base, sizes)
+
+
 def delta_encode(sorted_ids: np.ndarray) -> np.ndarray:
     """Strictly-ascending ids → [first, gap-1, gap-1, ...] (uint64)."""
     ids = np.asarray(sorted_ids, dtype=np.uint64)

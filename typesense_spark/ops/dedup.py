@@ -70,22 +70,30 @@ def token_shingles(docs: DataFrame, text_col: str, id_col: str = "doc_id", k: in
     """Distinct token k-gram shingles per doc: (doc_id, shingle).
 
     Tokenization is the engine's pinned tokenizer (JVM expressions);
-    shingle = k consecutive terms joined by a single space, built with
-    partition-local ``lead`` windows per doc.
+    shingle = k consecutive terms joined by a single space, sliced out
+    of the per-doc token ARRAY with transform/sequence — entirely
+    map-side. (The r2 form exploded tokens and ran a ``lead()`` window
+    partitioned by doc_id: one full shuffle + sort of every token row
+    for an operation that is embarrassingly parallel per doc. Same
+    output, proven in tests and by the unchanged dedup oracles.)
     """
-    tok = explode_tokens(docs.select(id_col, text_col), text_col, id_col)
-    w = Window.partitionBy(id_col).orderBy("pos")
-    lead_names = []
-    for i in range(1, k):
-        name = f"_t{i}"
-        tok = tok.withColumn(name, F.lead("term", i).over(w))
-        lead_names.append(name)
+    from typesense_spark.tokenizer import SPLIT_PATTERN, STRIP_PATTERN
+
+    toks = F.filter(
+        F.transform(
+            F.split(F.col(text_col), SPLIT_PATTERN, -1),
+            lambda raw: F.regexp_replace(F.lower(raw), STRIP_PATTERN, ""),
+        ),
+        lambda t: t != F.lit(""),
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("_toks") - (k - 1)),
+        lambda i: F.array_join(F.slice(F.col("_toks"), i, k), " "),
+    )
     return (
-        tok.where(F.col(lead_names[-1]).isNotNull())
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.concat_ws(" ", "term", *lead_names).alias("shingle"),
-        )
+        base.where(F.size("_toks") >= k)
+        .select("doc_id", F.explode(grams).alias("shingle"))
         .distinct()
     )
 
@@ -114,34 +122,51 @@ def ngram_jaccard_pairs(
     consistent with the capped |∩| (the oracle applies the same filter).
     ``None`` disables the cap (exact Jaccard over all shingles).
     """
-    # persist the RAW shingles first: the hot-list agg, sizes, and the
-    # self-join all read from this cache (tokenize+lead windows run once)
+    # shingles are cached once (tokenize+slice is the expensive lineage;
+    # the hot agg, sizes, and group pass all read the cache)
     sh = token_shingles(docs, text_col, id_col, k).persist()
     if max_shingle_df is not None:
-        # the HOT-shingle list is tiny by definition (df > K); a groupBy
-        # with map-side combine producing it + a broadcast anti-join is
-        # far cheaper than a count window over every shingle row. The
-        # driver-side count doubles as a skip: clean corpora (no hot
-        # shingles) pay one agg over the cached shingles and nothing else
+        # df-FIRST, then group: shingle df is computed ONCE with a
+        # map-side-combinable count agg (skew-safe — a 10⁸-doc stop
+        # shingle is one long per partition, never a buffered list),
+        # the tiny hot list broadcasts, and the anti-join removes hot
+        # rows MAP-SIDE before any further shuffle. No driver action
+        # anywhere (the r2 hot.count() skip cost a full extra job —
+        # part of the 3.3 → 4.6 s regression).
         hot = (
             sh.groupBy("shingle")
             .agg(F.count("*").alias("_df"))
             .where(F.col("_df") > max_shingle_df)
             .select("shingle")
-            .persist()
         )
-        if hot.count():
-            sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    inter = (
-        sh.alias("a")
-        .join(sh.alias("b"), "shingle")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("inter"))
+    # pair enumeration: group each shingle's (cap-bounded) doc list and
+    # explode the a<b pairs JVM-side — ONE shuffle of the capped rows,
+    # where the r2 self-join shuffled them twice into a sort-merge join
+    # (grouped enumeration measured ~25% faster at sf0.1, same rows).
+    # With the cap disabled this buffers whole per-shingle doc lists —
+    # only safe at verifier scale (the None contract above); the capped
+    # production path is bounded because df was filtered first.
+    grp = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_list(F.col("doc_id"))).alias("ds")
     )
+    pairs = grp.where(F.size("ds") >= 2).select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ds",
+                    lambda a: F.filter(
+                        F.transform("ds", lambda b: F.struct(a.alias("a"), b.alias("b"))),
+                        lambda p: p["a"] < p["b"],
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    inter = pairs.groupBy(
+        F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b")
+    ).agg(F.count("*").alias("inter"))
     return (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")

@@ -77,47 +77,138 @@ def packed_match_score(token_positions: list[list[int]], total_cost: int = 0) ->
     return (words << 16) | ((255 - total_cost) << 8) | distance
 
 
+BLOCK_KEY = ["field", "term", "salt", "block_id"]
+
+
+def candidate_blocks(index, blocks, doc_ids_df):
+    """Restrict packed blocks to those containing ≥1 candidate doc
+    BEFORE any position decode: a cheap ids-only vectorized pass tags
+    each block key with its doc ids, a semi-join against the candidate
+    set keeps the hit keys, and the blocks semi-join back on the key.
+    Positions of a block with zero candidates are never decoded — the
+    same restrict-then-decode order the WAND seed pass uses on block
+    [min_doc_id, max_doc_id] metadata (``wand.py``), but exact: id
+    streams are ~1 varint/doc while position streams are ~tf
+    varints/doc, so the probe pass costs a fraction of what it prunes."""
+    import numpy as np
+    import pyarrow as pa
+
+    from typesense_spark.index import codec
+    from typesense_spark.index.build import _flat_varints
+
+    def ids_gen(batches):
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            n_docs = batch.column("n_docs").to_numpy().astype(np.int64)
+            total = int(n_docs.sum())
+            ids = codec.segmented_delta_decode(
+                _flat_varints(batch, "ids_bin", total), n_docs
+            )
+            take = pa.array(np.repeat(np.arange(batch.num_rows), n_docs), type=pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("field").take(take),
+                    batch.column("term").take(take),
+                    batch.column("salt").take(take),
+                    batch.column("block_id").take(take),
+                    pa.array(ids.astype(np.int64), type=pa.int64()),
+                ],
+                names=[*BLOCK_KEY, "doc_id"],
+            )
+
+    ids_df = blocks.select(*BLOCK_KEY, "n_docs", "ids_bin").mapInArrow(
+        ids_gen, schema="field string, term string, salt int, block_id int, doc_id long"
+    )
+    hit_keys = (
+        ids_df.join(doc_ids_df.select("doc_id"), "doc_id", "left_semi")
+        .select(*BLOCK_KEY)
+        .distinct()
+    )
+    return blocks.join(hit_keys, BLOCK_KEY, "left_semi")
+
+
+def decode_positions_df(blocks, term_order: dict[str, int]):
+    """Packed blocks → (doc_id, tid, positions array<long>), fully
+    vectorized in ``mapInArrow``: the whole batch's id/tf/position
+    varint streams decode as one numpy pass each
+    (``codec.segmented_delta_decode`` / ``codec.segmented_cumsum``),
+    and the per-doc position lists are built as ONE Arrow ListArray
+    from flat values + offsets — no per-posting Python objects
+    (the r2-flagged ``itertuples`` + list-comprehension path)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from typesense_spark.index import codec
+    from typesense_spark.index.build import _binary_buffers, _flat_varints
+
+    def pos_gen(batches):
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            n_docs = batch.column("n_docs").to_numpy().astype(np.int64)
+            total = int(n_docs.sum())
+            ids = codec.segmented_delta_decode(
+                _flat_varints(batch, "ids_bin", total), n_docs
+            )
+            tfs = _flat_varints(batch, "tfs_bin", total).astype(np.int64)
+            offs, vals = _binary_buffers(batch.column("pos_bin"))
+            flat = codec.varint_decode(vals[offs[0] : offs[-1]].tobytes())
+            if flat.size == 0:
+                continue  # index built without positions
+            # per-doc record = [count, first, diffs...]; count == tf
+            rec_starts = np.zeros(total, dtype=np.int64)
+            np.cumsum(tfs[:-1] + 1, out=rec_starts[1:])
+            if flat.size != int(tfs.sum()) + total or not (
+                flat[rec_starts] == tfs.astype(np.uint64)
+            ).all():
+                raise ValueError("position stream / tf mismatch")
+            keep = np.ones(flat.size, dtype=bool)
+            keep[rec_starts] = False
+            positions = codec.segmented_cumsum(flat[keep], tfs)
+            terms_by_block = batch.column("term").to_pylist()  # one per BLOCK
+            tids = np.repeat(
+                np.array([term_order[t] for t in terms_by_block], dtype=np.int32),
+                n_docs,
+            )
+            offsets = np.zeros(total + 1, dtype=np.int64)
+            np.cumsum(tfs, out=offsets[1:])
+            lists = pa.ListArray.from_arrays(
+                pa.array(offsets.astype(np.int32), type=pa.int32()),
+                pa.array(positions.astype(np.int64), type=pa.int64()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids.astype(np.int64), type=pa.int64()),
+                    pa.array(tids, type=pa.int32()),
+                    lists,
+                ],
+                names=["doc_id", "tid", "positions"],
+            )
+
+    cols = ["term", "n_docs", "ids_bin", "tfs_bin", "pos_bin"]
+    return blocks.select(*cols).mapInArrow(
+        pos_gen, schema="doc_id long, tid int, positions array<long>"
+    )
+
+
 def proximity_rescore(index, doc_ids_df, terms: list[str], fields: list[str]):
     """Second-stage proximity re-rank: (doc_id) → (doc_id, match_score).
 
-    Decodes stored positions of the candidate terms from the posting
-    blocks (partition-pruned scan), groups per doc, computes the packed
+    Restricts the partition-pruned block scan to blocks holding ≥1
+    candidate doc (:func:`candidate_blocks` — ids decode before
+    position decode), decodes stored positions vectorized
+    (:func:`decode_positions_df`), groups per doc, computes the packed
     score in an Arrow-batched UDF. Join the result to the BM25 scores
     for combined ranking.
     """
-    from typing import Iterable
-
-    import numpy as np
     import pandas as pd
     from pyspark.sql import functions as F
-    from pyspark.sql import types as T
-
-    from typesense_spark.index import codec
 
     blocks = index.candidate_postings(terms, fields)
     term_order = {t: i for i, t in enumerate(terms)}
-
-    pos_schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("tid", T.IntegerType()),
-            T.StructField("positions", T.ArrayType(T.LongType())),
-        ]
-    )
-
-    def decode_positions(batches: Iterable[pd.DataFrame]):
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                ids, _tfs, _cons, poss = codec.unpack_block(
-                    r.ids_bin, r.tfs_bin, r.contribs_bin, r.pos_bin
-                )
-                tid = term_order[r.term]
-                for d, p in zip(ids, poss or []):
-                    rows.append((int(d), tid, [int(x) for x in np.asarray(p)]))
-            yield pd.DataFrame(rows, columns=["doc_id", "tid", "positions"])
-
-    per_term = blocks.mapInPandas(decode_positions, schema=pos_schema)
+    pruned = candidate_blocks(index, blocks, doc_ids_df)
+    per_term = decode_positions_df(pruned, term_order)
 
     # restrict to the BM25 candidate set BEFORE scoring (rescore is a
     # second stage — only candidates need position work), then batch:
