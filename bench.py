@@ -182,8 +182,23 @@ def headline_queries(sf_dir: str, cores: int) -> tuple[dict, float, float]:
         n_rows = batch_search(ix, qs, fields=("text",), num_typos=0, k=10).count()
         batch_dt = time.time() - t0
         batch_qps = round(len(qs) / batch_dt, 1) if n_rows >= 0 else 0.0
+
+        # typo-tolerant batch (num_typos=2): every unique token expands
+        # in ONE length-bucketed join plan (expand_tokens_batch) — the
+        # r2 bench only measured the typo-free path
+        tqs = []
+        for i in range(1000):
+            base = vocab[(i * 2654435761) % len(vocab)]
+            mutated = (base[:-1] + "x") if len(base) > 3 else base
+            tqs.append((f"t{i}", mutated))
+        t0 = time.time()
+        n_rows2 = batch_search(
+            ix, tqs, fields=("text",), num_typos=2, k=10, mode="or"
+        ).count()
+        typo_dt = time.time() - t0
+        batch_qps_typo2 = round(len(tqs) / typo_dt, 1) if n_rows2 >= 0 else 0.0
         timings.update(_scale_path_queries(spark, sf_dir))
-        return timings, total, batch_qps
+        return timings, total, batch_qps, batch_qps_typo2
     finally:
         spark.stop()
 
@@ -210,7 +225,7 @@ def main() -> None:
             (best[hi]["docs_per_sec"] / best[lo]["docs_per_sec"]) / (hi / lo), 3
         )
 
-    queries, total, batch_qps = headline_queries(sf_dir, cpus)
+    queries, total, batch_qps, batch_qps_typo2 = headline_queries(sf_dir, cpus)
 
     out = {
         "metric": "headline_query_suite_sec",
@@ -218,6 +233,7 @@ def main() -> None:
         "unit": "sec",
         "queries": queries,
         "batch_qps": batch_qps,
+        "batch_qps_typo2": batch_qps_typo2,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "build": {f"local{c}": best[c] for c in levels},
         "scaling": {

@@ -168,6 +168,51 @@ def test_batch_search_matches_per_query(built_index):
         assert got == want, (qid, got, want)
 
 
+def test_expand_tokens_batch_matches_expand_token(built_index):
+    """The batch-level one-plan expansion is token-for-token identical
+    to the driver expand_token spec (caps, ranks, prefix min-cost
+    merge) — for plain Levenshtein AND the OSA metric."""
+    from pyspark.sql import functions as F
+
+    from typesense_spark.search.expand import expand_token, expand_tokens_batch
+
+    terms_df = built_index.terms.where(F.col("field") == "content")
+    term_df = {r["term"]: r["df"] for r in terms_df.collect()}
+    specs = [
+        ("zygomorphik", False),
+        ("import", False),
+        ("zygo", True),
+        ("retur", True),
+        ("import", True),  # same token both prefix-nesses in one batch
+    ]
+    for dist in ("levenshtein", "osa"):
+        got = expand_tokens_batch(terms_df, specs, num_typos=2, distance=dist)
+        for tok, pref in specs:
+            want = expand_token(tok, term_df, 2, prefix=pref, distance=dist)
+            assert got[(tok, pref)] == want, (dist, tok, pref)
+
+
+def test_batch_search_with_typos_matches_per_query(built_index):
+    from typesense_spark.search.batch import batch_search
+
+    qset = [("a", "improt"), ("b", "zygomorphik retrun"), ("c", "merge0")]
+    out = batch_search(
+        built_index, qset, fields=("content",), num_typos=2, k=5, mode="or"
+    )
+    by_qid = {}
+    for r in out.collect():
+        by_qid.setdefault(r["qid"], []).append((r["rank"], r["doc_id"], r["score_milli"]))
+    for qid, q in qset:
+        res = search(
+            built_index,
+            SearchRequest(q=q, fields=("content",), num_typos=2, per_page=5,
+                          mode="or", drop_tokens_threshold=0),
+        )
+        want = [(r["rank"], r["doc_id"], r["score_milli"]) for r in res.hits.collect()]
+        got = sorted(by_qid.get(qid, []))
+        assert got == want, (qid, got, want)
+
+
 def test_unicode_corpus_end_to_end(spark):
     """Non-ASCII content folds identically at index and query time
     (iconv ASCII//TRANSLIT analogue, reference src/tokenizer.cpp:64-100)."""

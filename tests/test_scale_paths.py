@@ -247,3 +247,23 @@ def test_spark_expand_empty_tokens(built_index):
         assert res.hits.count() == 0
     finally:
         del built_index.expand_collect_threshold
+
+
+def test_prefix_expansion_no_global_window(built_index):
+    """The prefix top-K on the scale path is a distributed
+    TakeOrderedAndProject, never a single-partition row_number window
+    (r2 VERDICT #5): every window in the plan must carry a partition
+    spec (the per-cost typo window partitions by cost)."""
+    terms_df = built_index.terms.where(F.col("field") == "content")
+    plan = (
+        expand_terms_spark(terms_df, "zygo", 0, prefix=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan  # the distributed prefix top-K
+    # physical Window prints `Window [exprs], [partitionSpec], [orderSpec]`;
+    # an empty partition spec (the single-partition shape) prints `], [], [`
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "], [], [" not in line, f"global window found: {line}"

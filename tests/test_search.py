@@ -61,6 +61,25 @@ def test_wand_equals_exhaustive(built_index):
     assert wand == naive
 
 
+def test_wand_filtered_equals_exhaustive(built_index):
+    """Filtered OR queries prune too (filter-first τ, r2 ADVICE #5):
+    WAND under filter_expr / filter_by must equal the exhaustive plan."""
+    for fkw in (
+        {"filter_expr": "lang = 'python'"},
+        {"filter_by": "lang := python"},
+        {"filter_expr": "lang IS NOT NULL"},  # keep-all filter
+    ):
+        naive = engine_topk(
+            built_index, q="import return merge0", num_typos=0, mode="or",
+            per_page=25, **fkw,
+        )
+        wand = engine_topk(
+            built_index, q="import return merge0", num_typos=0, mode="or",
+            per_page=25, use_wand=True, **fkw,
+        )
+        assert wand == naive, fkw
+
+
 def test_filter_semijoin(built_index, oracle_index):
     res = search(
         built_index,

@@ -476,6 +476,20 @@ def q_wand(spark, sf_dir):
     )
 
 
+def q_wand_filtered(spark, sf_dir):
+    """Q14/M4 + Q9: block-max WAND under an attribute filter — τ is
+    computed over the filter-restricted seed set (filter-first, like
+    the reference, src/index.cpp:1322-1331), so the most common
+    production shape (filtered OR query) prunes instead of falling
+    back; result must equal the exhaustive filtered plan."""
+    return _hits(
+        _search(
+            spark, sf_dir, q="merge window fast", num_typos=0, mode="or",
+            use_wand=True, filter_expr="lang = 'en'", per_page=20,
+        )
+    )
+
+
 def q_term_dictionary(spark, sf_dir):
     """B6: term dictionary (df/cf/max_tf), top 20 by df."""
     ix = get_index(spark, sf_dir)
@@ -715,6 +729,7 @@ QUERIES = {
     "grouped": q_grouped,
     "pagination": q_pagination,
     "wand_or": q_wand,
+    "wand_filtered": q_wand_filtered,
     "term_dictionary": q_term_dictionary,
     "doc_lengths": q_doc_lengths,
     "postings_roundtrip": q_postings_roundtrip,
@@ -905,6 +920,14 @@ def build_oracles() -> dict[str, str]:
     )
     o["pagination"] = bm25_oracle(["merge"], per_page=5, page=2)
     o["wand_or"] = bm25_oracle(["merge", "window", "fast"], mode="or", per_page=20)
+    o["wand_filtered"] = (
+        _PRELUDE
+        + _cand_sql(["merge", "window", "fast"], 0, False)
+        + _scored_sql(3, "or")
+        + ", scored2 AS (SELECT s.* FROM scored s JOIN documents d USING (doc_id) "
+        "WHERE d.lang = 'en')"
+        + _hits_sql(20).replace("FROM scored)", "FROM scored2)")
+    )
     o["term_dictionary"] = (
         _PRELUDE
         + " SELECT term, df, CAST(cf AS BIGINT) AS cf, max_tf FROM tstat "

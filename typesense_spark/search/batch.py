@@ -32,7 +32,7 @@ from typesense_spark.search.engine import (
     _use_spark_expand,
     parse_query,
 )
-from typesense_spark.search.expand import expand_query, expand_query_spark
+from typesense_spark.search.expand import expand_tokens_batch
 
 
 def batch_search(
@@ -43,26 +43,58 @@ def batch_search(
     prefix_last: bool = False,
     mode: str = "and",
     k: int = 10,
+    typo_distance: str = "levenshtein",
 ) -> DataFrame:
-    """[(qid, q)] → (qid, rank, doc_id, score_milli), rank ≤ k per qid."""
-    # same expansion routing as engine.search: above the dictionary
-    # threshold, candidates come from a Spark join (bounded collect),
-    # never a full-dictionary collect
-    spark_expand = _use_spark_expand(index, fields)
-    term_df = None if spark_expand else _get_term_df(index, fields)
-    rows: list[tuple[str, int, str, int]] = []
-    for qid, q in queries:
-        tokens, _ = parse_query(q)
-        if spark_expand:
-            cand = expand_query_spark(
-                _terms_agg(index, fields), tokens, num_typos, prefix_last
+    """[(qid, q)] → (qid, rank, doc_id, score_milli), rank ≤ k per qid.
+
+    Expansion is batch-level (r2 VERDICT #7): every unique (token,
+    prefix?) across ALL queries expands in ONE Spark plan
+    (:func:`expand_tokens_batch`) — or, for the exact-match case
+    (num_typos=0, no prefix), one membership probe — so an N-query
+    batch costs O(1) driver round-trips, not O(N)."""
+    token_lists = [(qid, parse_query(q)[0]) for qid, q in queries]
+    specs = sorted(
+        {
+            (tok, prefix_last and i == len(toks) - 1)
+            for _qid, toks in token_lists
+            for i, tok in enumerate(toks)
+        }
+    )
+    if num_typos == 0 and not prefix_last:
+        # exact tokens: only dictionary MEMBERSHIP matters (an absent
+        # token voids its AND queries). Small dict → driver lookups;
+        # large dict → one semi-join probe over the distributed terms.
+        if _use_spark_expand(index, fields):
+            uniq = index.spark.createDataFrame(
+                [(t,) for t, _ in specs], schema="term string"
             )
+            present = {
+                r["term"]
+                for r in _terms_agg(index, fields)
+                .join(F.broadcast(uniq), "term", "left_semi")
+                .select("term")
+                .collect()
+            }
         else:
-            cand = expand_query(tokens, term_df, num_typos, prefix_last)
-        if mode == "and" and any(not cand[t] for t in tokens):
+            term_df = _get_term_df(index, fields)
+            present = {t for t, _ in specs if t in term_df}
+        cand_map = {
+            spec: ([(spec[0], 0)] if spec[0] in present else []) for spec in specs
+        }
+    else:
+        cand_map = expand_tokens_batch(
+            _terms_agg(index, fields), specs, num_typos, typo_distance
+        )
+    rows: list[tuple[str, int, str, int]] = []
+    for qid, tokens in token_lists:
+        cands = [
+            cand_map[(tok, prefix_last and i == len(tokens) - 1)]
+            for i, tok in enumerate(tokens)
+        ]
+        if mode == "and" and any(not c for c in cands):
             continue  # unsatisfiable AND query → no rows
-        for i, tok in enumerate(tokens):
-            for t, _c in cand[tok]:
+        for i, cand in enumerate(cands):
+            for t, _c in cand:
                 rows.append((qid, i, t, len(tokens)))
     spark = index.spark
     if not rows:

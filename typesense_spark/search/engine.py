@@ -261,8 +261,13 @@ def _score_tokens(
     mode: str,
     use_wand: bool = False,
     weights: tuple[int, ...] = (),
+    keep_ids: DataFrame | None = None,
 ) -> DataFrame | None:
-    """Candidate postings → (doc_id, score_milli). None if no candidates."""
+    """Candidate postings → (doc_id, score_milli). None if no candidates.
+
+    ``keep_ids`` only matters under WAND: the pruning threshold τ is
+    computed over the filter-restricted seed set (filter-first, like
+    the reference — see ``wand.prune_blocks``)."""
     pairs = [
         (i, term) for i, tok in enumerate(tokens) for term, _ in cand_map.get(tok, [])
     ]
@@ -273,7 +278,9 @@ def _score_tokens(
         from typesense_spark.index.build import decode_postings
         from typesense_spark.search.wand import prune_blocks
 
-        pruned = prune_blocks(index, tokens, cand_map, fields, k=MAX_HITS)
+        pruned = prune_blocks(
+            index, tokens, cand_map, fields, k=MAX_HITS, keep_ids=keep_ids
+        )
         decoded = decode_postings(pruned)
     else:
         decoded = index.decoded(all_terms, list(fields))
@@ -402,30 +409,10 @@ def search(index: Index, req: SearchRequest) -> SearchResult:
     if req.override_store is not None:
         pinned, hidden = req.override_store.resolve(req.q, req.pinned, req.hidden)
 
-    # WAND soundness: the pruning threshold tau is a BM25 bound over the
-    # unfiltered corpus, so pruning is exact ONLY when (a) nothing
-    # narrows the candidate set afterwards, (b) BM25 is the primary
-    # order (an attribute sort or proximity re-rank could promote a
-    # pruned doc), (c) no consumer needs the FULL matched set (facets /
-    # stats / grouping / found are documented as full-set), and (d) the
-    # requested page fits in the prune budget. Otherwise fall back to
-    # the exhaustive plan. Under WAND, `found` is a lower bound.
-    use_wand = (
-        req.use_wand
-        and req.mode == "or"
-        and not (req.filter_expr or req.filter_by or hidden or excludes)
-        and not req.query_by_weights  # block maxima are unweighted
-        and not req.sort_by
-        and not req.rerank_proximity
-        and not (req.facet_by or req.facet_stats_for or req.group_by)
-        and req.page * req.per_page <= MAX_HITS
-    )
-    if req.query_by_weights and len(req.query_by_weights) != len(req.fields):
-        raise ValueError("query_by_weights must be parallel to fields")
-
-    # Q9 keep-set, built once: reused by the final semi-join AND by the
+    # Q9 keep-set, built once: reused by the final semi-join, by the
     # typo-deepening result counts (the reference counts results AFTER
-    # filter intersection, src/index.cpp search_candidates)
+    # filter intersection, src/index.cpp search_candidates), and by
+    # WAND's filtered τ probes
     keep_ids = None
     if req.filter_expr or req.filter_by:
         keep = docs
@@ -436,6 +423,28 @@ def search(index: Index, req: SearchRequest) -> SearchResult:
 
             keep = apply_filter_by(keep, req.filter_by)
         keep_ids = keep.select("doc_id")
+
+    # WAND soundness: pruning is exact when (a) any post-search
+    # narrowing is either absent or REFLECTED IN τ — attribute filters
+    # are (filter-first τ probes, wand.prune_blocks), exclusion tokens
+    # and hidden ids are not (fallback), (b) BM25 is the primary order
+    # (an attribute sort or proximity re-rank could promote a pruned
+    # doc), (c) no consumer needs the FULL matched set (facets / stats /
+    # grouping / found are documented as full-set), and (d) the
+    # requested page fits in the prune budget. Otherwise fall back to
+    # the exhaustive plan. Under WAND, `found` is a lower bound.
+    use_wand = (
+        req.use_wand
+        and req.mode == "or"
+        and not (hidden or excludes)
+        and not req.query_by_weights  # block maxima are unweighted
+        and not req.sort_by
+        and not req.rerank_proximity
+        and not (req.facet_by or req.facet_stats_for or req.group_by)
+        and req.page * req.per_page <= MAX_HITS
+    )
+    if req.query_by_weights and len(req.query_by_weights) != len(req.fields):
+        raise ValueError("query_by_weights must be parallel to fields")
 
     if tokens == ["*"]:
         # Q10 wildcard: doc universe, scored 0, attribute-sorted
@@ -543,7 +552,7 @@ def search(index: Index, req: SearchRequest) -> SearchResult:
                 if deep_scored is not None
                 else _score_tokens(
                     index, attempt, cand, req.fields, req.mode, use_wand,
-                    req.query_by_weights,
+                    req.query_by_weights, keep_ids,
                 )
             )
             attempts.append(attempt)
@@ -568,7 +577,7 @@ def search(index: Index, req: SearchRequest) -> SearchResult:
                 all_cands.update(vcand)
                 vscored = _score_tokens(
                     index, vtoks, vcand, req.fields, req.mode, use_wand,
-                    req.query_by_weights,
+                    req.query_by_weights, keep_ids,
                 )
                 attempts.append(vtoks)
                 if vscored is not None:

@@ -40,8 +40,19 @@ def prune_blocks(
     fields,
     k: int,
     min_blocks: int = 256,
+    keep_ids: DataFrame | None = None,
 ) -> DataFrame:
-    """Return the pruned postings-block DataFrame for an OR query."""
+    """Return the pruned postings-block DataFrame for an OR query.
+
+    ``keep_ids``: optional filter keep-set (doc_id). The reference
+    evaluates filters FIRST and searches within them
+    (``/root/reference/src/index.cpp:1322-1331``); here both τ probe
+    passes semi-join the keep set, so τ is the k-th best exact score
+    AMONG FILTERED DOCS — the filtered-OR query (the most common
+    production shape) prunes instead of falling back to the exhaustive
+    plan. Soundness is unchanged: τ lower-bounds the k-th best filtered
+    full score (it is the exact score of k specific filtered docs), and
+    a pruned block only drops docs whose total score bound is < τ."""
     tok_terms = {tok: [t for t, _ in cand_map.get(tok, [])] for tok in tokens}
     all_terms = sorted({t for ts in tok_terms.values() for t in ts})
     if not all_terms:
@@ -77,14 +88,14 @@ def prune_blocks(
     heavy_terms = tok_terms.get(heavy) or all_terms
     from typesense_spark.index.build import decode_postings
 
-    partial = (
+    seed_scored = (
         decode_postings(index.candidate_postings(heavy_terms, list(fields)))
         .groupBy("doc_id")
         .agg(F.max("contrib").alias("s"))
-        .orderBy(F.col("s").desc())
-        .limit(k)
-        .collect()
     )
+    if keep_ids is not None:
+        seed_scored = seed_scored.join(keep_ids, "doc_id", "left_semi")
+    partial = seed_scored.orderBy(F.col("s").desc()).limit(k).collect()
     tau = 0
     if len(partial) >= k:
         seeds = [int(r["doc_id"]) for r in partial]
