@@ -295,11 +295,14 @@ def test_request_validation_limits(built_index):
             search(built_index, SearchRequest(q="import", fields=("content",), **bad))
 
 
-def test_array_elements_get_position_gap(spark):
-    """B5: proximity windows must not span array-element boundaries —
-    elements are joined with a >WINDOW_SIZE position gap of sentinel
-    tokens (normalized to '' → position-consuming, never emitted)."""
+def test_array_positions_per_element_at_rest(spark):
+    """B5 complete (r2 VERDICT #7): stored array-field positions encode
+    (element index, local position) via ELEM_STRIDE — proximity windows
+    cannot span an element boundary AND the posting can name WHICH
+    element matched (the reference's per-element offset encoding,
+    src/index.cpp:590-598 / decode :1977-2017)."""
     from typesense_spark.index import codec
+    from typesense_spark.index.build import ELEM_STRIDE, split_elem_pos
     from typesense_spark.search.match import match_score
 
     df = spark.createDataFrame(
@@ -314,15 +317,66 @@ def test_array_elements_get_position_gap(spark):
         )
         for d, p in zip(ids, poss):
             pos[(r["term"], int(d))] = [int(x) for x in p]
-    assert pos[("red", 1)][0] == 0 and pos[("wine", 1)] == [1]
-    gap = pos[("red", 1)][1] - pos[("wine", 1)][0]
-    assert gap > 10  # second element starts beyond the proximity window
+    # exact per-element decode: red@(0,0) and (1,0); wine@(0,1); rose@(1,1)
+    assert [split_elem_pos(p) for p in pos[("red", 1)]] == [(0, 0), (1, 0)]
+    assert [split_elem_pos(p) for p in pos[("wine", 1)]] == [(0, 1)]
+    assert [split_elem_pos(p) for p in pos[("rose", 1)]] == [(1, 1)]
+    assert pos[("red", 1)][1] == ELEM_STRIDE
     # cross-element 'wine rose' can't win a proximity window...
     words_x, _ = match_score([pos[("wine", 1)], pos[("rose", 1)]])
     assert words_x == 1
     # ...but within-element 'red wine' does
     words_in, _ = match_score([[pos[("red", 1)][0]], pos[("wine", 1)]])
     assert words_in == 2
+
+
+def test_array_highlight_reference_cases(spark):
+    """Ported from the reference's ArrayStringFieldHighlight
+    (test/collection_test.cpp:647-760 over test/array_text_documents.jsonl):
+    per-element snippets sorted by Match score, ties to lower indices."""
+    from typesense_spark.search.match import highlight_array
+
+    tags0 = ["the truth", "about forever", "truth about"]
+    h = highlight_array(tags0, {"truth", "about"})
+    assert h["snippets"] == [
+        "<mark>truth</mark> <mark>about</mark>",
+        "the <mark>truth</mark>",
+        "<mark>about</mark> forever",
+    ]
+    assert h["indices"] == [2, 0, 1]
+
+    h2 = highlight_array(tags0, {"forever", "truth"})
+    assert h2["snippets"] == [
+        "the <mark>truth</mark>",
+        "about <mark>forever</mark>",
+        "<mark>truth</mark> about",
+    ]
+    assert h2["indices"] == [0, 1, 2]
+
+    # end-to-end over the reference corpus: search + highlighted_hits
+    docs = [
+        (0, "The Truth About Forever", tags0, 100),
+        (1, "Plain Truth", ["plain", "truth", "plain truth"], 40),
+        (2, "Temple of the Winds", ["temple", "of", "temple of"], 87),
+        (3, "Amazing Spiderman is amazing",
+         ["amazing movie", "spiderman", "really fun really"], 90),
+    ]
+    df = spark.createDataFrame(
+        docs, schema="doc_id long, title string, tags array<string>, points long"
+    )
+    ix = build_index(spark, df, fields=["tags"], id_col="doc_id", num_buckets=2)
+    # the reference case passes drop_tokens_threshold=0 (its trailing arg)
+    res = search(
+        ix,
+        SearchRequest(q="truth about", fields=("tags",), num_typos=0,
+                      drop_tokens_threshold=0),
+    )
+    rows = res.highlighted_hits(ix, "tags", {"truth", "about"})
+    assert [r["doc_id"] for r in rows] == [0]
+    assert rows[0]["highlight"]["indices"] == [2, 0, 1]
+    # 'truth' alone matches docs 0 and 1 (reference: ids {"0","1"})
+    res2 = search(ix, SearchRequest(q="truth", fields=("tags",), num_typos=0))
+    assert {r["doc_id"] for r in res2.hits.collect()} == {0, 1}
 
 
 def test_export_documents_jsonl_roundtrip(built_index, tmp_path):

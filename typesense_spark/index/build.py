@@ -103,6 +103,22 @@ class BuildReport:
 
 _KEY_SEP = "\x01"
 
+# B5: array-string positions at rest encode (element, local position) in
+# one monotone integer: pos = elem_idx * ELEM_STRIDE + local_pos. The
+# reference stores per-element offsets behind an array-index sentinel
+# (/root/reference/src/index.cpp:590-598; decode populate_token_positions
+# :1977-2017); the stride form keeps its two guarantees — proximity
+# windows can never span an element boundary (stride >> WINDOW_SIZE) and
+# Match/highlight can name WHICH element matched (split_elem_pos) —
+# while staying delta+varint friendly (inter-element gaps are one ~3-byte
+# varint). tf/df stay joint across elements (pinned; tested).
+ELEM_STRIDE = 1 << 20
+
+
+def split_elem_pos(pos: int) -> tuple[int, int]:
+    """Stored array-field position → (array element index, local pos)."""
+    return pos // ELEM_STRIDE, pos % ELEM_STRIDE
+
 
 def assign_doc_ids(
     df: DataFrame, key_cols: list[str], num_partitions: int = 32
@@ -223,6 +239,66 @@ def tokenize_mapper(fld: str, store_positions: bool):
                 for t, p in toks:
                     per.setdefault(t, []).append(p)
                 for t, ps in per.items():
+                    doc_ids.append(int(doc_id))
+                    terms.append(t)
+                    tfs.append(len(ps))
+                    dls.append(dl)
+                    if store_positions:
+                        counts.append(len(ps) + 1)
+                        flat_vals.append(len(ps))
+                        flat_vals.append(ps[0])
+                        for a, b in zip(ps, ps[1:]):
+                            flat_vals.append(b - a)
+            if store_positions and terms:
+                pos_bins = codec.varint_encode_split(
+                    np.asarray(flat_vals, dtype=np.uint64),
+                    np.asarray(counts, dtype=np.int64),
+                )
+            else:
+                pos_bins = [b""] * len(terms)
+            yield pd.DataFrame(
+                {
+                    "field": fld,
+                    "doc_id": pd.array(doc_ids, dtype="int64"),
+                    "term": terms,
+                    "tf": pd.array(tfs, dtype="int64"),
+                    "dl": pd.array(dls, dtype="int64"),
+                    "pos_bin": pos_bins,
+                }
+            )
+
+    return gen
+
+
+def tokenize_mapper_array(fld: str, store_positions: bool):
+    """B5 array-string tokenize: one Arrow-batched pass like
+    :func:`tokenize_mapper`, but positions restart per element and are
+    stored as ``elem_idx * ELEM_STRIDE + local_pos`` (see ELEM_STRIDE).
+    dl / tf / df aggregate jointly across elements (pinned — the
+    reference's tf is per-token occurrences over the whole array too)."""
+    from typesense_spark.tokenizer import tokenize
+
+    def gen(batches):
+        for pdf in batches:
+            doc_ids: list[int] = []
+            terms: list[str] = []
+            tfs: list[int] = []
+            dls: list[int] = []
+            flat_vals: list[int] = []
+            counts: list[int] = []
+            for doc_id, elems in zip(pdf["doc_id"], pdf[fld]):
+                per: dict[str, list[int]] = {}
+                dl = 0
+                if elems is not None:
+                    for ei, content in enumerate(elems):
+                        toks = tokenize(content or "")
+                        dl += len(toks)
+                        off = ei * ELEM_STRIDE
+                        for t, p in toks:
+                            per.setdefault(t, []).append(off + p)
+                if dl == 0:
+                    continue
+                for t, ps in per.items():  # ps ascending by construction
                     doc_ids.append(int(doc_id))
                     terms.append(t)
                     tfs.append(len(ps))
@@ -632,16 +708,13 @@ def build_index(
         docs = docs.withColumn("doc_id", F.col(id_col).cast("long"))
     docs = docs.withColumn("doc_id", F.col("doc_id").cast("long"))
 
-    # B5: string-array fields tokenize from a TOKENIZER-ONLY view where
-    # elements are joined with a POSITION-GAP sentinel: the joiner's NUL
-    # tokens normalize to '' (keep_empty — they consume positions but
-    # are never emitted), so consecutive elements sit > WINDOW_SIZE
-    # positions apart and proximity windows can never span an element
-    # boundary — matching the reference's per-element Match evaluation
-    # (src/index.cpp:558-606, populate_token_positions) while keeping
-    # tf/df joint across elements (pinned; tested). The STORED docs
-    # table keeps the original array (hydration/exports/snippets must
-    # never see the sentinel bytes).
+    # B5: string-array fields tokenize per ELEMENT with stride-encoded
+    # positions (elem_idx * ELEM_STRIDE + local_pos — see ELEM_STRIDE):
+    # proximity windows can never span an element boundary AND the
+    # stored postings can name which element matched, completing the
+    # reference's per-element offset encoding at rest
+    # (src/index.cpp:590-598, decode populate_token_positions
+    # :1977-2017). tf/df stay joint across elements (pinned; tested).
     schema_types = dict(docs.dtypes)
     array_fields = [
         fld for fld in fields if schema_types.get(fld, "").startswith("array")
@@ -662,16 +735,13 @@ def build_index(
         # docs feed both tokenize passes + query-time joins
         docs = docs.persist()
 
-    tok_docs = docs
-    for fld in array_fields:
-        tok_docs = tok_docs.withColumn(
-            fld, F.array_join(F.col(fld), " " + "\x00 " * 11)
-        )
-
     def _tf(with_positions: bool) -> DataFrame:
         parts = [
-            tok_docs.select("doc_id", fld).mapInPandas(
-                tokenize_mapper(fld, with_positions), schema=TF_SCHEMA
+            docs.select("doc_id", fld).mapInPandas(
+                (tokenize_mapper_array if fld in array_fields else tokenize_mapper)(
+                    fld, with_positions
+                ),
+                schema=TF_SCHEMA,
             )
             for fld in fields
         ]

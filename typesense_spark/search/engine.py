@@ -141,8 +141,11 @@ class SearchResult:
         ``highlight`` entry (snippet / matched_tokens / value) computed
         driver-side over the ≤ per_page winners — the same place the
         reference shapes its JSON response (src/collection.cpp:960-1040).
-        One hydration collect; match.highlight does the marking."""
-        from typesense_spark.search.match import highlight
+        One hydration collect; match.highlight does the marking. Array
+        string fields get the reference's per-element snippet list
+        (match.highlight_array: snippets + indices sorted by per-element
+        Match score)."""
+        from typesense_spark.search.match import highlight, highlight_array
 
         rows = [r.asDict() for r in self.hits.collect()]
         if not rows:
@@ -156,9 +159,11 @@ class SearchResult:
             .collect()
         }
         for h in rows:
-            h["highlight"] = highlight(
-                contents.get(h["doc_id"], "") or "", query_terms, **hl_kw
-            )
+            val = contents.get(h["doc_id"])
+            if isinstance(val, list):
+                h["highlight"] = highlight_array(val, query_terms, **hl_kw)
+            else:
+                h["highlight"] = highlight(val or "", query_terms, **hl_kw)
         return rows
 
     @property

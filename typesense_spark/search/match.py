@@ -302,6 +302,51 @@ def highlight(
     return {"snippet": snippet, "matched_tokens": matched_tokens, "value": value}
 
 
+def highlight_array(
+    elements: list[str],
+    query_terms: set[str],
+    snippet_threshold: int = SNIPPET_THRESHOLD,
+    affix: int = SNIPPET_AFFIX_TOKENS,
+    start_tag: str = "<mark>",
+    end_tag: str = "</mark>",
+) -> dict:
+    """B5 array-field highlighting — reference semantics
+    (``src/collection.cpp:1309-1473`` array branch; expectations ported
+    from ``test/collection_test.cpp`` ArrayStringFieldHighlight over
+    ``test/array_text_documents.jsonl``):
+
+    - each array element containing ≥1 matched token emits its own
+      snippet (the element's best Match window, same shaping as
+      :func:`highlight`);
+    - snippets sort by the element's packed Match score DESC; equal
+      scores give priority to LOWER array indices;
+    - ``indices`` names which element each snippet came from.
+
+    Returns {"snippets": [...], "indices": [...], "matched_tokens": [...]}.
+    """
+    scored: list[tuple[int, int, dict]] = []
+    for ei, content in enumerate(elements or []):
+        toks = tokenize(content or "")
+        present = sorted({t for t, _ in toks if t in query_terms})
+        if not present:
+            continue
+        plists = [sorted(p for t, p in toks if t == qt) for qt in present]
+        score = packed_match_score(plists)
+        h = highlight(
+            content, query_terms, snippet_threshold, affix,
+            start_tag=start_tag, end_tag=end_tag,
+        )
+        scored.append((-score, ei, h))
+    scored.sort(key=lambda x: (x[0], x[1]))
+    return {
+        "snippets": [h["snippet"] for _, _, h in scored],
+        "indices": [ei for _, ei, _ in scored],
+        "matched_tokens": sorted(
+            {t for _, _, h in scored for t in h["matched_tokens"]}
+        ),
+    }
+
+
 def _raw_tokens(content: str) -> list[str]:
     import re
 
