@@ -137,6 +137,99 @@ def build_run(master: str) -> None:
         spark.stop()
 
 
+def soak_run(master: str, n_docs: int) -> None:
+    """Subprocess entry: the sf1 scale soak (r2 VERDICT #10) — one
+    uncontended build of a 1M-doc corpus + a filtered AND query + a
+    WAND OR query, with shuffle/spill totals parsed from the Spark
+    event log (the 100×-story evidence: absolute numbers AND whether
+    any stage spilled)."""
+    import glob
+    import tempfile
+
+    from pyspark.sql import SparkSession
+
+    evdir = tempfile.mkdtemp(prefix="ts_soak_ev_")
+    spark = (
+        SparkSession.builder.master(master)
+        .appName("soak-sf1")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(2 * PARTITIONS))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
+        .config("spark.ui.enabled", "false")
+        .config("spark.eventLog.enabled", "true")
+        .config("spark.eventLog.dir", evdir)
+        .config("spark.eventLog.compress", "false")
+        # one JVM plays 32 executors in local mode: give it the heap a
+        # 32-slot cluster would have, or the sf1 caches thrash a 16g
+        # heap into GC + spill that no real executor would see
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_SOAK_DRIVER_MEM", "48g"),
+        )
+        .getOrCreate()
+    )
+    from typesense_spark.corpus import corpus_df
+    from typesense_spark.index import build_index
+    from typesense_spark.search import SearchRequest, search
+
+    src = corpus_df(spark, n_docs, partitions=2 * PARTITIONS).persist()
+    n_src = src.count()
+    t0 = time.time()
+    ix = build_index(spark, src, **BUILD_KW)
+    build_wall = time.time() - t0
+    t0 = time.time()
+    search(
+        ix,
+        SearchRequest(q="import return", fields=("content",), num_typos=0,
+                      filter_expr="lang = 'python'"),
+    ).hits.collect()
+    q_and = time.time() - t0
+    t0 = time.time()
+    search(
+        ix,
+        SearchRequest(q="merge0 index0 batch0", fields=("content",),
+                      num_typos=0, mode="or", use_wand=True, per_page=20),
+    ).hits.collect()
+    q_wand = time.time() - t0
+    postings = ix.report.n_postings
+    spark.stop()  # finalizes the event log
+
+    mem_spill = disk_spill = shuf_write = 0
+    paths = [p for p in glob.glob(f"{evdir}/**", recursive=True) if os.path.isfile(p)]
+    for path in paths:
+        with open(path) as f:
+            for line in f:
+                if '"SparkListenerTaskEnd"' not in line:
+                    continue
+                try:
+                    m = json.loads(line).get("Task Metrics") or {}
+                except json.JSONDecodeError:
+                    continue
+                mem_spill += m.get("Memory Bytes Spilled", 0)
+                disk_spill += m.get("Disk Bytes Spilled", 0)
+                shuf_write += (m.get("Shuffle Write Metrics") or {}).get(
+                    "Shuffle Bytes Written", 0
+                )
+    print(
+        json.dumps(
+            {
+                "master": master,
+                "docs": n_src,
+                "postings": postings,
+                "build_sec": round(build_wall, 3),
+                "docs_per_sec": round(n_src / build_wall, 1),
+                "build_stages": ix.report.stages,
+                "query_filtered_and_sec": round(q_and, 3),
+                "query_wand_or_sec": round(q_wand, 3),
+                "shuffle_write_bytes": shuf_write,
+                "memory_bytes_spilled": mem_spill,
+                "disk_bytes_spilled": disk_spill,
+            }
+        )
+    )
+
+
 def _spawn_build(master: str, cores: int) -> dict:
     """Run one build in a fresh subprocess PINNED to exactly ``cores``
     CPUs (taskset) — in local mode Python workers otherwise spill onto
@@ -203,9 +296,19 @@ def headline_queries(sf_dir: str, cores: int) -> tuple[dict, float, float]:
         spark.stop()
 
 
+def _spawn_soak(n_docs: int, cores: int) -> dict:
+    cmd = [sys.executable, __file__, "--soak-run", f"local[{cores}]", str(n_docs)]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
 def main() -> None:
     if len(sys.argv) > 2 and sys.argv[1] == "--build-run":
         build_run(sys.argv[2])
+        return
+    if len(sys.argv) > 3 and sys.argv[1] == "--soak-run":
+        soak_run(sys.argv[2], int(sys.argv[3]))
         return
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -247,6 +350,14 @@ def main() -> None:
             "note": "32 vCPU = ~26 effective cores (SMT); shared VM with CPU steal — see BASELINE.md",
         },
     }
+    # sf1 scale soak (1M docs, one uncontended run, spill metrics) —
+    # set SPARK_GRAFT_SOAK_DOCS=0 to skip
+    soak_docs = int(os.environ.get("SPARK_GRAFT_SOAK_DOCS", "1000000"))
+    if soak_docs > 0:
+        try:
+            out["sf1_soak"] = _spawn_soak(soak_docs, cpus)
+        except Exception as e:  # the soak must never sink the whole bench
+            out["sf1_soak"] = {"error": str(e)[:200]}
     print(json.dumps(out))
 
 
