@@ -42,6 +42,23 @@ def test_rank_identical_to_oracle(built_index, oracle_index, q, ekw, okw):
     assert got == want, f"query {q!r}: {got} != {want}"
 
 
+def test_prefix_on_by_default(built_index, oracle_index):
+    """The reference defaults prefix=true on the last query token
+    (src/core_api.cpp:299 — the autocomplete default). The engine's
+    SearchRequest must match: 'zygo' with NO prefix argument behaves
+    like prefix_last=True, and prefix_last=False switches it off."""
+    got_default = engine_topk(built_index, q="zygo", num_typos=0, per_page=10)
+    want_on = oracle_topk(oracle_index, "zygo", k=10, prefix_last=True)
+    assert got_default == want_on
+    assert got_default, "prefix default did not fire (empty result)"
+    got_off = engine_topk(
+        built_index, q="zygo", num_typos=0, per_page=10, prefix_last=False
+    )
+    want_off = oracle_topk(oracle_index, "zygo", k=10, prefix_last=False)
+    assert got_off == want_off
+    assert got_off != got_default, "off-switch did not change the result"
+
+
 def test_tiebreak_docid_desc(built_index, oracle_index):
     """Reference: equal scores → larger doc_id first
     (test/collection_test.cpp:116, topster.h:254-257)."""

@@ -289,8 +289,17 @@ def q_typo_max_score(spark, sf_dir):
 
 
 def q_prefix(spark, sf_dir):
-    """Q3 prefix mode: prefix-on-last-token expansion."""
-    return _hits(_search(spark, sf_dir, q="wind", num_typos=0, prefix_last=True))
+    """Q3 prefix mode: prefix-on-last-token expansion. Deliberately
+    relies on the DEFAULT (reference: prefix=true,
+    src/core_api.cpp:299) — this gate proves the default is on."""
+    return _hits(_search(spark, sf_dir, q="wind", num_typos=0))
+
+
+def q_prefix_off(spark, sf_dir):
+    """Q3 prefix off-switch: 'wind' is not a whole term in the corpus,
+    so with prefix_last=False it must match NOTHING (the default-on
+    gate above returns a full page from 'window' docs)."""
+    return _hits(_search(spark, sf_dir, q="wind", num_typos=0, prefix_last=False))
 
 
 def q_synonyms(spark, sf_dir):
@@ -730,6 +739,7 @@ QUERIES = {
     "typo_threshold": q_typo_threshold,
     "typo_max_score": q_typo_max_score,
     "prefix": q_prefix,
+    "prefix_off": q_prefix_off,
     "drop_tokens": q_drop_tokens,
     "synonyms": q_synonyms,
     "filter": q_filter,
@@ -781,25 +791,25 @@ def build_oracles() -> dict[str, str]:
     from typesense_spark.ops.textstats import FP_MOD, LANG_MARKERS, STOPWORDS
 
     o: dict[str, str] = {}
-    o["exact_term"] = bm25_oracle(["table"])
-    o["multi_and"] = bm25_oracle(["merge", "batch", "window"])
-    o["multi_or"] = bm25_oracle(["merge", "window"], mode="or")
+    o["exact_term"] = bm25_oracle(["table"], prefix_last=True)
+    o["multi_and"] = bm25_oracle(["merge", "batch", "window"], prefix_last=True)
+    o["multi_or"] = bm25_oracle(["merge", "window"], mode="or", prefix_last=True)
     o["exclusion"] = (
         _PRELUDE
-        + _cand_sql(["merge"], 0, False)
+        + _cand_sql(["merge"], 0, True)
         + _scored_sql(1)
         + ", excl AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'batch')"
         + ", scored2 AS (SELECT * FROM scored WHERE doc_id NOT IN (SELECT doc_id FROM excl))"
         + _hits_sql().replace("FROM scored)", "FROM scored2)")
     )
-    o["typo"] = bm25_oracle(["merg"], num_typos=2)
+    o["typo"] = bm25_oracle(["merg"], num_typos=2, prefix_last=True)
     # deepening stops at cost 1 (see q_typo_threshold docstring)
-    o["typo_threshold"] = bm25_oracle(["merg"], num_typos=1)
+    o["typo_threshold"] = bm25_oracle(["merg"], num_typos=1, prefix_last=True)
     o["typo_osa"] = bm25_oracle(
-        ["mrege"], num_typos=1, distfn="damerau_levenshtein"
+        ["mrege"], num_typos=1, distfn="damerau_levenshtein", prefix_last=True
     )
     o["typo_osa2"] = bm25_oracle(
-        ["mregi"], num_typos=2, distfn="damerau_levenshtein"
+        ["mregi"], num_typos=2, distfn="damerau_levenshtein", prefix_last=True
     )
     # MAX_SCORE ordering: per-cost candidate rank by max(n_chars) over
     # the term's docs, in lockstep with the engine's max_score column
@@ -819,9 +829,10 @@ def build_oracles() -> dict[str, str]:
         + _hits_sql()
     )
     o["prefix"] = bm25_oracle(["wind"], num_typos=0, prefix_last=True)
+    o["prefix_off"] = bm25_oracle(["wind"], num_typos=0, prefix_last=False)
     # drop-tokens: full query has 0 hits (zzznope absent) → engine falls
     # back to ['merge']; oracle is the reduced query directly
-    o["drop_tokens"] = bm25_oracle(["merge"])
+    o["drop_tokens"] = bm25_oracle(["merge"], prefix_last=True)
     # synonyms: two variant vectors — AND('merge','batch') and the
     # rewritten AND('window') — merged per doc by max score
     o["synonyms"] = (
@@ -838,7 +849,7 @@ def build_oracles() -> dict[str, str]:
     )
     o["filter"] = (
         _PRELUDE
-        + _cand_sql(["merge"], 0, False)
+        + _cand_sql(["merge"], 0, True)
         + _scored_sql(1)
         + ", scored2 AS (SELECT s.* FROM scored s JOIN documents d USING (doc_id) "
         "WHERE d.lang = 'en' AND d.n_chars >= 200)"
@@ -846,7 +857,7 @@ def build_oracles() -> dict[str, str]:
     )
     o["filter_dsl"] = (
         _PRELUDE
-        + _cand_sql(["merge"], 0, False)
+        + _cand_sql(["merge"], 0, True)
         + _scored_sql(1)
         + ", scored2 AS (SELECT s.* FROM scored s JOIN documents d USING (doc_id) "
         "WHERE d.lang = 'en' AND (d.n_chars >= 900 OR d.n_chars < 300) "
@@ -871,7 +882,7 @@ def build_oracles() -> dict[str, str]:
     )
     o["facet_counts"] = (
         _PRELUDE
-        + _cand_sql(["merge"], 0, False)
+        + _cand_sql(["merge"], 0, True)
         + _scored_sql(1)
         + " SELECT d.lang AS facet_value, count(*) AS facet_count "
         "FROM scored s JOIN documents d USING (doc_id) GROUP BY 1 "
@@ -879,7 +890,7 @@ def build_oracles() -> dict[str, str]:
     )
     o["facet_query"] = (
         _PRELUDE
-        + _cand_sql(["merge"], 0, False)
+        + _cand_sql(["merge"], 0, True)
         + _scored_sql(1)
         # lang values are single-token, so the per-token matched-prefix
         # highlight reduces to a prefix wrap of the whole value
@@ -918,7 +929,7 @@ def build_oracles() -> dict[str, str]:
     )
     o["facet_stats"] = (
         _PRELUDE
-        + _cand_sql(["merge"], 0, False)
+        + _cand_sql(["merge"], 0, True)
         + _scored_sql(1)
         + " SELECT CAST(min(d.n_chars) AS BIGINT) AS stat_min, "
         "CAST(max(d.n_chars) AS BIGINT) AS stat_max, "
@@ -929,7 +940,7 @@ def build_oracles() -> dict[str, str]:
     )
     o["grouped"] = (
         _PRELUDE
-        + _cand_sql(["merge"], 0, False)
+        + _cand_sql(["merge"], 0, True)
         + _scored_sql(1)
         + " SELECT lang, doc_id, score_milli, CAST(rn AS BIGINT) AS group_rank FROM ("
         "SELECT d.lang, s.doc_id, s.score_milli, row_number() OVER ("
@@ -937,11 +948,11 @@ def build_oracles() -> dict[str, str]:
         "FROM scored s JOIN documents d USING (doc_id)) WHERE rn <= 2 "
         "ORDER BY lang, group_rank"
     )
-    o["pagination"] = bm25_oracle(["merge"], per_page=5, page=2)
-    o["wand_or"] = bm25_oracle(["merge", "window", "fast"], mode="or", per_page=20)
+    o["pagination"] = bm25_oracle(["merge"], per_page=5, page=2, prefix_last=True)
+    o["wand_or"] = bm25_oracle(["merge", "window", "fast"], mode="or", per_page=20, prefix_last=True)
     o["wand_filtered"] = (
         _PRELUDE
-        + _cand_sql(["merge", "window", "fast"], 0, False)
+        + _cand_sql(["merge", "window", "fast"], 0, True)
         + _scored_sql(3, "or")
         + ", scored2 AS (SELECT s.* FROM scored s JOIN documents d USING (doc_id) "
         "WHERE d.lang = 'en')"

@@ -68,7 +68,7 @@ def search(
     ix: OracleIndex,
     tokens: list[str],
     num_typos: int = 0,
-    prefix_last: bool = False,
+    prefix_last: bool = True,  # reference default (src/core_api.cpp:299)
     mode: str = "and",
     excludes: list[str] | None = None,
     k: int = 10,

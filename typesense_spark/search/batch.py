@@ -40,7 +40,7 @@ def batch_search(
     queries: list[tuple[str, str]],
     fields: tuple[str, ...] = ("content",),
     num_typos: int = 0,
-    prefix_last: bool = False,
+    prefix_last: bool = True,  # reference default (src/core_api.cpp:299)
     mode: str = "and",
     k: int = 10,
     typo_distance: str = "levenshtein",

@@ -64,7 +64,10 @@ class SearchRequest:
     group_by: tuple[str, ...] = ()
     group_limit: int = 3  # reference: src/core_api.cpp:376
     num_typos: int = 2  # reference: src/core_api.cpp:295
-    prefix_last: bool = False  # reference default true; pinned opt-in
+    # reference default: the LAST query token is prefix-matched
+    # (prefix=true, src/core_api.cpp:299 — the autocomplete default);
+    # pass False for whole-token-only matching on the last token
+    prefix_last: bool = True
     # Q3/Q4 typo_tokens_threshold (reference Index::TYPO_TOKENS_THRESHOLD
     # = 100; search_candidates stops once results reach it,
     # src/index.cpp:947-950). Pinned Spark adaptation: iterative COST
