@@ -59,15 +59,18 @@ def test_explicit_pins_and_hides_take_precedence():
     assert pinned == {} and set(hidden) == {5, 6}
 
 
-def test_position_collision_bumps_to_next_free_slot():
+def test_position_collision_first_claimant_wins():
+    """Reference ungrouped rule: only the first ID claiming a position
+    is curated; later claimants rank organically
+    (test/collection_override_test.cpp:472-489, ids_per_pos=1)."""
     store = OverrideStore(
         [
             OverrideRule("a", "q", "exact", add_hits=((1, 1),)),
-            OverrideRule("b", "q", "exact", add_hits=((2, 1),)),
+            OverrideRule("b", "q", "exact", add_hits=((2, 1), (3, 2))),
         ]
     )
     pinned, _ = store.resolve("q")
-    assert pinned == {1: 1, 2: 2}
+    assert pinned == {1: 1, 3: 2}  # doc 2 lost slot 1 → organic
 
 
 def test_upsert_and_remove():
@@ -118,6 +121,39 @@ def test_search_with_override_store(built_index):
         ),
     )
     assert [tuple(r) for r in res2.hits.collect()] == [tuple(r) for r in base_rows]
+
+
+def test_same_position_pins_reference_case(built_index):
+    """Port of PinnedHitsGrouping's ungrouped assertions
+    (test/collection_override_test.cpp:472-495): pinned '6:1,8:1,1:2'
+    style — the first claimant of slot 1 is curated there, the losing
+    claimant appears at its ORGANIC rank (not bumped), and curated
+    flags mark exactly the splice-pinned docs."""
+    from typesense_spark.search import SearchRequest, search
+
+    base = search(
+        built_index, SearchRequest(q="import return", fields=("content",), num_typos=0)
+    )
+    base_ids = [r["doc_id"] for r in base.hits.collect()]
+    a, b, c = base_ids[4], base_ids[2], base_ids[5]
+    # a and b both claim position 1 (a first); c claims position 3
+    res = search(
+        built_index,
+        SearchRequest(
+            q="import return", fields=("content",), num_typos=0,
+            pinned={a: 1, b: 1, c: 3},
+        ),
+    )
+    rows = res.hits.collect()
+    ids = [r["doc_id"] for r in rows]
+    assert ids[0] == a and rows[0]["curated"]
+    assert ids[2] == c and rows[2]["curated"]
+    # b lost slot 1 → organic: order among non-curated rows == base
+    # order with the curated docs removed
+    organic_ids = [i for i in ids if i not in (a, c)]
+    assert organic_ids == [i for i in base_ids if i not in (a, c)][: len(organic_ids)]
+    assert b in ids  # still present, organically
+    assert not [r for r in rows if r["doc_id"] == b][0]["curated"]
 
 
 def test_cross_rule_drop_retracts_add():

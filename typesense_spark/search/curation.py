@@ -18,10 +18,17 @@ behavioral targets in ``test/collection_override_test.cpp``):
 - a pinned position beyond the result count appends at the end (the
   splice in engine.search, mirroring src/collection.cpp:897-922).
 
-Pinned deviation: the reference keeps a list of ids per position
-(multiple rules can pin different docs to the same slot); this store
-resolves to one doc per position, bumping later claimants to the next
-free slot — same visible order for the reference's test cases.
+Position collisions (multiple rules pinning different docs to the same
+slot): the reference keeps a LIST of ids per position and, in ungrouped
+search, picks only the FIRST id per position — later claimants are not
+curated and appear at their organic rank ("without any grouping
+parameter, only the first ID in a position should be picked and other
+IDs should appear in their original positions",
+test/collection_override_test.cpp:472-489; ids_per_pos = max(1,
+group_limit), src/collection.cpp:570-584). resolve() implements exactly
+that. Pinned deviation: the grouped variant (up to group_limit curated
+ids per position forming a synthetic group) is not implemented —
+pinned + group_by applies the ungrouped first-claimant rule.
 
 Scale note: overrides are a driver-side dict (O(10²-10³) rules in
 practice); resolution is pure string matching on the query — no Spark
@@ -100,13 +107,15 @@ class OverrideStore:
         placements = {d: p for d, p in placements.items() if d not in excluded}
         for doc_id, pos in (pinned or {}).items():
             if doc_id not in excluded:
-                placements[doc_id] = pos  # explicit pins win
-        # one doc per slot: later claimants bump to the next free slot
+                placements[doc_id] = pos  # explicit pins win for a doc
+        # reference ungrouped rule (ids_per_pos = 1): the FIRST claimant
+        # of a position is curated; later claimants are dropped from the
+        # pin set and rank organically (collection_override_test.cpp:472)
         taken: set[int] = set()
         resolved: dict[int, int] = {}
         for doc_id, pos in placements.items():
-            while pos in taken:
-                pos += 1
+            if pos in taken:
+                continue
             taken.add(pos)
             resolved[doc_id] = pos
         return resolved, tuple(dict.fromkeys(excluded))

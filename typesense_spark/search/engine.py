@@ -684,31 +684,43 @@ def search(index: Index, req: SearchRequest) -> SearchResult:
     proj = ["rank", "doc_id", "score_milli", *req.include_fields]
     if pinned:
         # Q20 pinned hits: driver-side positional splice of the (small)
-        # winner list, like the reference (src/collection.cpp:897-922)
-        organic = hydrated.orderBy(*order).limit(top_n + len(pinned)).collect()
+        # winner list, like the reference (src/collection.cpp:897-922).
+        # One curated doc per position — the FIRST claimant wins
+        # (ids_per_pos = 1 ungrouped, src/collection.cpp:570-584); later
+        # claimants of a taken slot are NOT curated and rank organically
+        # (test/collection_override_test.cpp:472-489). OverrideStore
+        # already resolves this; raw req.pinned dicts get the same rule
+        # here (dict insertion order = claim order).
+        by_pos: dict[int, int] = {}
+        for d, p in pinned.items():
+            if p not in by_pos:
+                by_pos[p] = d
+        winners = set(by_pos.values())
+        organic = hydrated.orderBy(*order).limit(top_n + len(winners)).collect()
         scores = {r["doc_id"]: r["score_milli"] for r in organic}
-        queue = [r["doc_id"] for r in organic if r["doc_id"] not in pinned]
-        by_pos = {pos: d for d, pos in pinned.items()}
-        final: list[tuple[int, int, int]] = []
+        queue = [r["doc_id"] for r in organic if r["doc_id"] not in winners]
+        final: list[tuple[int, int, int, bool]] = []
         pos = 1
         while len(final) < top_n and (queue or by_pos):
             if pos in by_pos:
-                d = by_pos.pop(pos)
+                d, curated = by_pos.pop(pos), True
             elif queue:
-                d = queue.pop(0)
+                d, curated = queue.pop(0), False
             else:
-                d = by_pos.pop(min(by_pos))
-            final.append((pos, d, scores.get(d, 0)))
+                d, curated = by_pos.pop(min(by_pos)), True
+            final.append((pos, d, scores.get(d, 0), curated))
             pos += 1
         page_rows = final[(req.page - 1) * req.per_page :]
+        # `curated` marks splice-pinned docs, like the reference's
+        # "curated": true hit annotation (src/collection.cpp:1027)
         hits = index.spark.createDataFrame(
-            page_rows, schema="rank int, doc_id long, score_milli long"
+            page_rows, schema="rank int, doc_id long, score_milli long, curated boolean"
         )
         if req.include_fields:
             hits = hits.join(
                 docs.select("doc_id", *req.include_fields), "doc_id", "left"
             )
-        hits = hits.select(*proj)
+        hits = hits.select(*proj, "curated")
     else:
         top = hydrated.orderBy(*order).limit(top_n)
         w = Window.orderBy(*order)  # ≤ page*per_page rows — driver-scale
