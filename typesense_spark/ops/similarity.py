@@ -107,44 +107,52 @@ def kmeans_cells(
     """Lloyd k-means over quantized vectors → (vec_id, cell).
 
     The IVF centroid-assignment pass the round-1 review called out as
-    missing. Init is deterministic farthest-point (k-means++ without
-    the RNG): seed with the min-``xxhash64(id)`` vector, then greedily
-    add the vector least similar to every chosen centroid — one small
-    Spark job per seed, so O(n_cells) init jobs (fine for the coarse
-    cell counts IVF wants; for thousands of cells swap in hash-sampled
-    init). Then n_iters of assign-to-nearest-by-cosine / recompute-
-    mean; per iteration the heavy side is one broadcast-join scan of
-    the vectors (n·k cosine evals, all JVM expressions); centroids
-    (n_cells × dim longs) are collected to the driver between
-    iterations to cut lineage — a bounded, cluster-safe collect.
+    missing. Init is hash-sampled farthest-point (r2 VERDICT: the old
+    full-scan farthest-point loop ran one Spark job PER seed, O(n_cells)
+    sequential jobs): ONE TakeOrdered job pulls a deterministic
+    min-``xxhash64(id)``-ordered sample of ``max(256, 16·n_cells)``
+    vectors, and the greedy farthest-point selection runs driver-side
+    on the sample with numpy — O(1) Spark jobs at any cell count, and
+    any cluster holding ≥ 1/(16·n_cells) of the data lands in the
+    sample w.h.p. so every coarse mode gets a nearby seed. Then n_iters
+    of assign-to-nearest-by-cosine / recompute-mean; per iteration the
+    heavy side is one broadcast-join scan of the vectors (n·k cosine
+    evals, all JVM expressions); centroids (n_cells × dim longs) are
+    collected to the driver between iterations to cut lineage — a
+    bounded, cluster-safe collect.
     """
+    import numpy as np  # driver-side only: seed selection on the sample
+
     spark = embeddings.sparkSession
     base = embeddings.select(
         F.col(id_col).alias("vec_id"), quantize_vec(F.col(vec_col)).alias("qv")
     ).persist()
-    first = (
+    sample = (
         base.withColumn("_h", F.xxhash64("vec_id"))
         .orderBy("_h", "vec_id")
-        .limit(1)
-        .collect()[0]
+        .limit(max(256, 16 * n_cells))
+        .select("vec_id", "qv")
+        .collect()
     )
-    seeds = [list(first["qv"])]
-    for _ in range(n_cells - 1):
-        cent = spark.createDataFrame(
-            [(i, v) for i, v in enumerate(seeds)], schema="cell int, cvec array<long>"
-        )
-        far = (
-            base.crossJoin(F.broadcast(cent))
-            .groupBy("vec_id")
-            .agg(
-                F.max(cosine_q(F.col("qv"), F.col("cvec"))).alias("_near"),
-                F.first("qv").alias("qv"),
-            )
-            .orderBy(F.col("_near").asc(), F.col("vec_id"))
-            .limit(1)
-            .collect()[0]
-        )
-        seeds.append(list(far["qv"]))
+    sv = np.asarray([r["qv"] for r in sample], dtype=np.float64)
+    ids = np.asarray([r["vec_id"] for r in sample])
+    norms = np.sqrt((sv * sv).sum(axis=1))
+    norms[norms == 0.0] = 1.0
+    unit = sv / norms[:, None]
+    # greedy farthest-point on the sample: start from the min-hash
+    # vector (same first seed as the old full-scan init), then add the
+    # sample vector least similar to every chosen seed; ties break by
+    # vec_id like the old orderBy(_near asc, vec_id)
+    chosen = [0]
+    best = unit @ unit[0]  # max cosine to any chosen seed, per sample row
+    best[0] = np.inf  # never re-pick a seed (even under all-tied cosines)
+    for _ in range(min(n_cells, len(sample)) - 1):
+        order = np.lexsort((ids, best))
+        nxt = int(order[0])
+        chosen.append(nxt)
+        best[nxt] = np.inf  # never re-pick a seed
+        np.maximum(best, unit @ unit[nxt], out=best)
+    seeds = [[int(x) for x in sv[i]] for i in chosen]
     cent_rows = [{"cell": i, "cvec": v} for i, v in enumerate(seeds)]
     wv = Window.partitionBy("vec_id").orderBy(F.col("_cos").desc(), F.col("cell"))
     assign = None
