@@ -91,10 +91,11 @@ def token_shingles(docs: DataFrame, text_col: str, id_col: str = "doc_id", k: in
         F.sequence(F.lit(1), F.size("_toks") - (k - 1)),
         lambda i: F.array_join(F.slice(F.col("_toks"), i, k), " "),
     )
-    return (
-        base.where(F.size("_toks") >= k)
-        .select("doc_id", F.explode(grams).alias("shingle"))
-        .distinct()
+    # per-doc dedup happens MAP-SIDE (array_distinct on the gram array)
+    # so no global distinct shuffle is needed: (doc_id, shingle) rows
+    # are already unique because doc_id is fixed within each array
+    return base.where(F.size("_toks") >= k).select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
     )
 
 
@@ -122,17 +123,18 @@ def ngram_jaccard_pairs(
     consistent with the capped |∩| (the oracle applies the same filter).
     ``None`` disables the cap (exact Jaccard over all shingles).
     """
-    # shingles are cached once (tokenize+slice is the expensive lineage;
-    # the hot agg, sizes, and group pass all read the cache)
-    sh = token_shingles(docs, text_col, id_col, k).persist()
+    # Shuffle census (the whole game at 100 TB — and at gate scale,
+    # where each extra shuffle is a fixed stage barrier): tokenize +
+    # per-doc array_distinct are map-side; (1) df agg for the hot list
+    # (map-side-combinable count — skew-safe, a 10⁸-doc stop shingle is
+    # one long per partition, never a buffered list); the anti-join
+    # removes hot rows MAP-SIDE (broadcast); then the CAPPED rows are
+    # cached and feed (2) sizes and (3) the grouped pair enumeration;
+    # (4) the pair-count agg. No driver action anywhere. The r2 shape
+    # paid two more: a global distinct of all raw shingle rows (now
+    # array_distinct in the map task) and it cached the pre-cap set.
+    sh = token_shingles(docs, text_col, id_col, k)
     if max_shingle_df is not None:
-        # df-FIRST, then group: shingle df is computed ONCE with a
-        # map-side-combinable count agg (skew-safe — a 10⁸-doc stop
-        # shingle is one long per partition, never a buffered list),
-        # the tiny hot list broadcasts, and the anti-join removes hot
-        # rows MAP-SIDE before any further shuffle. No driver action
-        # anywhere (the r2 hot.count() skip cost a full extra job —
-        # part of the 3.3 → 4.6 s regression).
         hot = (
             sh.groupBy("shingle")
             .agg(F.count("*").alias("_df"))
@@ -140,6 +142,7 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sh = sh.persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     # pair enumeration: group each shingle's (cap-bounded) doc list and
     # explode the a<b pairs JVM-side — ONE shuffle of the capped rows,
