@@ -251,62 +251,89 @@ def expand_tokens_batch(
         return out
     rk = F.col(rank_col)
 
-    len_rows = []
-    for tok, _pref in set(token_specs):
-        mc = bounded_typo_cost(tok, num_typos)
-        for tlen in range(max(1, len(tok) - mc), len(tok) + mc + 1):
-            len_rows.append((tok, mc, tlen))
-    lens = spark.createDataFrame(
-        sorted(set(len_rows)), schema="tok string, max_cost int, tlen int"
+    # cost-0 tokens (num_typos=0, or the len<3 cost cap) need no edit
+    # distance at all: a plain equi-join on the term — for a typo-free
+    # batch (the common production shape) the whole typo branch is ONE
+    # hash join, not a length-bucket × levenshtein cross-check of every
+    # same-length (token, term) pair
+    exact_toks = sorted(
+        {t for t, _ in token_specs if bounded_typo_cost(t, num_typos) == 0}
     )
-    joined = terms_df.join(
-        F.broadcast(lens), F.length(F.col("term")) == F.col("tlen")
-    )
-    if distance == "osa":
-        # JVM lev ≤ 2·max_cost prefilter (a transposition is ≤ 2 plain
-        # edits), exact OSA on the survivors in an Arrow-batched UDF —
-        # same construction as expand_terms_spark
-        from pyspark.sql.functions import pandas_udf
-
-        osa_udf = pandas_udf(
-            lambda terms, toks: terms.combine(toks, osa), "int"
-        )
-        cand = (
-            joined.where(
-                F.levenshtein(F.col("term"), F.col("tok")) <= 2 * F.col("max_cost")
+    fuzzy_toks = {t for t, _ in token_specs if bounded_typo_cost(t, num_typos) > 0}
+    parts = []
+    if exact_toks:
+        et = spark.createDataFrame([(t,) for t in exact_toks], schema="tok string")
+        parts.append(
+            terms_df.join(F.broadcast(et), F.col("term") == F.col("tok")).select(
+                "tok", "term", F.lit(0).alias("cost")
             )
-            .withColumn("cost", osa_udf(F.col("term"), F.col("tok")))
-            .where(F.col("cost") <= F.col("max_cost"))
         )
-    else:
-        cand = joined.withColumn(
-            "cost", F.levenshtein(F.col("term"), F.col("tok"))
-        ).where(F.col("cost") <= F.col("max_cost"))
-    w = Window.partitionBy("tok", "cost").orderBy(rk.desc(), F.col("term"))
-    typo = (
-        cand.withColumn("rn", F.row_number().over(w))
-        .where((F.col("cost") == 0) | (F.col("rn") <= MAX_CANDIDATES))
-        .select("tok", "term", "cost")
-    )
+    if fuzzy_toks:
+        len_rows = []
+        for tok in fuzzy_toks:
+            mc = bounded_typo_cost(tok, num_typos)
+            for tlen in range(max(1, len(tok) - mc), len(tok) + mc + 1):
+                len_rows.append((tok, mc, tlen))
+        lens = spark.createDataFrame(
+            sorted(set(len_rows)), schema="tok string, max_cost int, tlen int"
+        )
+        joined = terms_df.join(
+            F.broadcast(lens), F.length(F.col("term")) == F.col("tlen")
+        )
+        if distance == "osa":
+            # JVM lev ≤ 2·max_cost prefilter (a transposition is ≤ 2
+            # plain edits), exact OSA on the survivors in an Arrow-
+            # batched UDF — same construction as expand_terms_spark
+            from pyspark.sql.functions import pandas_udf
+
+            osa_udf = pandas_udf(
+                lambda terms, toks: terms.combine(toks, osa), "int"
+            )
+            cand = (
+                joined.where(
+                    F.levenshtein(F.col("term"), F.col("tok")) <= 2 * F.col("max_cost")
+                )
+                .withColumn("cost", osa_udf(F.col("term"), F.col("tok")))
+                .where(F.col("cost") <= F.col("max_cost"))
+            )
+        else:
+            cand = joined.withColumn(
+                "cost", F.levenshtein(F.col("term"), F.col("tok"))
+            ).where(F.col("cost") <= F.col("max_cost"))
+        w = Window.partitionBy("tok", "cost").orderBy(rk.desc(), F.col("term"))
+        parts.append(
+            cand.withColumn("rn", F.row_number().over(w))
+            .where((F.col("cost") == 0) | (F.col("rn") <= MAX_CANDIDATES))
+            .select("tok", "term", "cost")
+        )
+    typo = parts[0]
+    for p in parts[1:]:
+        typo = typo.unionByName(p)
 
     pref_tokens = sorted({tok for tok, pref in token_specs if pref})
     plan = typo
     if pref_tokens:
-        by_len: dict[int, list[str]] = {}
-        for tok in pref_tokens:
-            by_len.setdefault(len(tok), []).append(tok)
-        pref_parts = []
-        for L, toks in sorted(by_len.items()):
-            ptoks = spark.createDataFrame([(t,) for t in toks], schema="tok string")
-            pref_parts.append(
-                terms_df.join(
-                    F.broadcast(ptoks),
-                    F.col("term").substr(1, L) == F.col("tok"),
-                ).where(F.col("term") != F.col("tok"))
+        # ONE scan of the dictionary for ALL prefix tokens: each term
+        # explodes to its prefixes at the batch's distinct token
+        # lengths (≤ a dozen values — map-side, no extra scan per
+        # length), then a broadcast equi-join on the prefix string.
+        # (The r3-pre shape unioned one terms scan PER length.)
+        lengths = sorted({len(t) for t in pref_tokens})
+        pfx = F.array_compact(
+            F.array(
+                *[
+                    F.when(F.length("term") > L, F.col("term").substr(1, L))
+                    for L in lengths
+                ]
             )
-        pref_cand = pref_parts[0]
-        for p in pref_parts[1:]:
-            pref_cand = pref_cand.unionByName(p)
+        )
+        ptoks = spark.createDataFrame(
+            [(t,) for t in pref_tokens], schema="tok string"
+        )
+        pref_cand = (
+            terms_df.select("term", rk, F.explode(pfx).alias("_pfx"))
+            .join(F.broadcast(ptoks), F.col("_pfx") == F.col("tok"))
+        )
         # two-phase per-token top-10: local top per physical partition
         # bounds the final window's partition size (a 1-char prefix over
         # a 5e9-term dictionary must not funnel into one task)
