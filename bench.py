@@ -296,6 +296,80 @@ def headline_queries(sf_dir: str, cores: int) -> tuple[dict, float, float]:
         spark.stop()
 
 
+def _spawn_submit_build(cores: int, n_docs: int, zip_path: str) -> dict:
+    """north-rule launch-shape evidence: the LITERAL
+    ``spark-submit --py-files <pkg.zip> jobs/build_index_job.py`` run
+    (what a real multi-executor cluster submission looks like), pinned
+    to ``cores`` CPUs. Throughput derives from the manifest's per-stage
+    walls (JVM/session startup excluded, same accounting as the python
+    build trials); the manifest also carries the per-group lineage +
+    postings/sec the rule asks for."""
+    import shutil
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix=f"ts_submit_{cores}c_")
+    spark_submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+    cmd = [
+        spark_submit,
+        "--master", f"local[{cores}]",
+        "--py-files", zip_path,
+        "--conf", "spark.ui.enabled=false",
+        "--driver-memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "jobs", "build_index_job.py"),
+        "--synthetic-docs", str(n_docs),
+        "--out", out_dir,
+        "--no-resume",
+    ]
+    if os.path.exists("/usr/bin/taskset") or os.path.exists("/bin/taskset"):
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+    env = dict(os.environ, SPARK_GRAFT_MASTER=f"local[{cores}]")
+    t0 = time.time()
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=1200, env=env)
+    submit_wall = time.time() - t0
+    job = json.loads(proc.stdout.strip().splitlines()[-1])
+    build_wall = job["build_wall_sec"]  # checkpointed_build wall, JVM
+    # + session startup excluded (groups overlap, so summing per-stage
+    # marker walls would double-count)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return {
+        "cmd": "spark-submit --py-files typesense_spark.zip jobs/build_index_job.py",
+        "master": f"local[{cores}]",
+        "docs": n_docs,
+        "total_postings": job["total_postings"],
+        "build_wall_sec": build_wall,
+        "docs_per_sec": round(n_docs / max(build_wall, 1e-9), 1),
+        "submit_wall_sec": round(submit_wall, 3),
+        "rc": proc.returncode,
+    }
+
+
+def _submit_section(n_docs: int) -> dict:
+    """Run the spark-submit launch shape at N=2 and 4N=8 pinned cores
+    (the same clean-core pair as the python trials) and report the
+    north rule's scaling efficiency between them."""
+    import tempfile
+    import zipfile
+
+    pkg = os.path.join(os.path.dirname(os.path.abspath(__file__)), "typesense_spark")
+    zip_path = os.path.join(tempfile.mkdtemp(prefix="ts_pyfiles_"), "typesense_spark.zip")
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    zf.write(full, os.path.relpath(full, os.path.dirname(pkg)))
+    levels = {}
+    for cores in (2, 8):
+        trials = [_spawn_submit_build(cores, n_docs, zip_path) for _ in range(2)]
+        levels[f"{cores}c"] = min(trials, key=lambda r: r["build_wall_sec"])
+    eff = round(
+        (levels["8c"]["docs_per_sec"] / levels["2c"]["docs_per_sec"]) / 4.0, 3
+    )
+    return {**levels, "efficiency_2_to_8": eff}
+
+
 def _spawn_soak(n_docs: int, cores: int) -> dict:
     cmd = [sys.executable, __file__, "--soak-run", f"local[{cores}]", str(n_docs)]
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
@@ -350,6 +424,15 @@ def main() -> None:
             "note": "32 vCPU = ~26 effective cores (SMT); shared VM with CPU steal — see BASELINE.md",
         },
     }
+    # spark-submit --py-files launch-shape evidence (north rule) at
+    # N=2 / 4N=8 pinned cores — set SPARK_GRAFT_SUBMIT_DOCS=0 to skip
+    submit_docs = int(os.environ.get("SPARK_GRAFT_SUBMIT_DOCS", "50000"))
+    if submit_docs > 0:
+        try:
+            out["spark_submit"] = _submit_section(submit_docs)
+        except Exception as e:  # never sink the whole bench
+            out["spark_submit"] = {"error": str(e)[:200]}
+
     # sf1 scale soak (1M docs, one uncontended run, spill metrics) —
     # set SPARK_GRAFT_SOAK_DOCS=0 to skip
     soak_docs = int(os.environ.get("SPARK_GRAFT_SOAK_DOCS", "1000000"))

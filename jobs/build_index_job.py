@@ -54,6 +54,9 @@ def main() -> None:
     else:
         src = spark.read.parquet(args.input)
 
+    import time
+
+    t0 = time.time()
     ix = checkpointed_build(
         spark,
         src,
@@ -69,10 +72,12 @@ def main() -> None:
         n_salts=args.n_salts,
         **({"score_col": args.score_col} if args.score_col else {}),
     )
+    build_wall = time.time() - t0
     with open(f"{args.out}/manifest.json") as f:
         manifest = json.load(f)
     print(json.dumps({
         "out": args.out,
+        "build_wall_sec": round(build_wall, 3),
         "total_postings": manifest["total_postings"],
         "stats": {k: {"n_docs": v.n_docs, "avgdl": v.avgdl} for k, v in ix.stats.items()},
     }))

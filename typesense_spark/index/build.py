@@ -682,6 +682,7 @@ def build_index(
     n_salts: int = 8,
     store_positions: bool = True,
     persist: bool = True,
+    persist_light: bool = False,
     bucket_group: tuple[int, int] | None = None,
     score_col: str | None = None,
 ) -> Index:
@@ -731,7 +732,13 @@ def build_index(
         )
         docs = docs.withColumn("content_sha", F.sha2(content_str, 256))
 
-    if persist:
+    # persist_light: cache ONLY the narrow relations (docs handle,
+    # position-free tf, dictionary aggs) so a dictionary-only caller
+    # (the checkpoint dict stage) runs ONE tokenize pass instead of
+    # one per consumer action — without triggering the pack pipeline
+    # the way persist=True does. Wide tf rows are never cached
+    # (heap-thrash anti-scaling, see module notes).
+    if persist or persist_light:
         # docs feed both tokenize passes + query-time joins
         docs = docs.persist()
 
@@ -755,7 +762,7 @@ def build_index(
     # while caching tens of millions of tf rows thrashed the heap and
     # made the build ANTI-scale with cores. Recompute > cache here.
     tf_light = _tf(False)  # dictionary/stats pass (no position bytes)
-    if persist:
+    if persist or persist_light:
         # narrow rows, shared by stats + terms + doc_attrs actions
         tf_light = tf_light.persist()
     tf_all = _tf(store_positions)  # pack pass
@@ -788,7 +795,7 @@ def build_index(
             .agg(F.max("_sc").alias("max_score"))
         )
         terms = terms.join(msc, ["field", "term"])
-    if persist:
+    if persist or persist_light:
         doc_attrs = doc_attrs.persist()
         terms = terms.persist()
 
