@@ -319,6 +319,11 @@ def _spawn_submit_build(cores: int, n_docs: int, zip_path: str) -> dict:
         "--synthetic-docs", str(n_docs),
         "--out", out_dir,
         "--no-resume",
+        # 2 commit groups: each group re-tokenizes map-side, so group
+        # count multiplies tokenize CPU — the launch-shape evidence
+        # wants the build cost, not the resume-granularity trade-off
+        # (kill/resume correctness is pytest's job)
+        "--n-groups", "2",
     ]
     if os.path.exists("/usr/bin/taskset") or os.path.exists("/bin/taskset"):
         cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
