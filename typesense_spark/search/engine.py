@@ -178,6 +178,24 @@ class SearchResult:
         return self._found
 
 
+# bounded registry of per-query persisted score relations: the
+# drop-tokens fallback decision needs a count JOB over the merged score
+# plan; persisting the narrow (doc_id, score_milli) rows lets the final
+# hits/facets actions reuse the materialized scores instead of
+# re-running the scan→decode→score pipeline. Handles are released
+# LRU-style so long sessions don't accumulate executor storage.
+_SCORE_CACHE_KEEP = 8
+_score_cache: list[DataFrame] = []
+
+
+def _persist_scored(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _score_cache.append(df)
+    while len(_score_cache) > _SCORE_CACHE_KEEP:
+        _score_cache.pop(0).unpersist()
+    return df
+
+
 def parse_query(q: str) -> tuple[list[str], list[str]]:
     """Reference Q1: '-tok' → exclude list; '*' → wildcard
     (src/collection.cpp:1166-1195). Tokens are run through the pinned
@@ -568,6 +586,12 @@ def search(index: Index, req: SearchRequest) -> SearchResult:
                 matched = _merge(matched, scored)
                 if attempt is plan[-1]:
                     break  # no further fallback — skip the count job
+                # the fallback decision is a count job over the full
+                # score plan — persist the narrow merged rows so the
+                # final hits/facets actions read the materialized
+                # result instead of re-running scan→decode→score
+                # (the count otherwise doubles every AND query's work)
+                matched = _persist_scored(matched)
                 if (
                     matched.limit(req.drop_tokens_threshold).count()
                     >= req.drop_tokens_threshold
