@@ -464,3 +464,24 @@ def test_typo_threshold_counts_filtered_results(spark):
     )
     got2 = {r["doc_id"] for r in res2.hits.collect()}
     assert got2 and got2.isdisjoint({100, 101, 102})
+
+
+def test_exclude_fields_projection(built_index):
+    """Reference exclude_fields (src/core_api.cpp EXCLUDE_FIELDS):
+    bare exclude = every doc column except those; with include_fields
+    it subtracts from the include list."""
+    from typesense_spark.search import SearchRequest, search
+
+    base = dict(q="import", fields=("content",), num_typos=0)
+    r = search(
+        built_index,
+        SearchRequest(
+            **base, include_fields=("repo", "lang"), exclude_fields=("lang",)
+        ),
+    )
+    assert r.hits.columns == ["rank", "doc_id", "score_milli", "repo"]
+    r2 = search(built_index, SearchRequest(**base, exclude_fields=("content",)))
+    cols = set(r2.hits.columns)
+    assert "content" not in cols
+    assert {"repo", "path", "commit", "lang"} <= cols
+    assert r2.hits.count() > 0

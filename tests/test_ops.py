@@ -244,3 +244,20 @@ def test_duplicate_clusters_on_planted_dups(spark, corpus_rows):
     clusters = dedup.duplicate_clusters(pairs).collect()
     by_doc = {r["doc_id"]: r["cluster_id"] for r in clusters}
     assert by_doc[1000] == 0 and by_doc[0] == 0  # exact dup pair clusters
+
+
+def test_scrub_pii_counts_and_placeholders(spark):
+    from typesense_spark.ops import textstats
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b@x.org and b@y.io ip 1.2.3.4 phone +1 555-123-4567 end"),
+            (2, "clean text"),
+        ],
+        "doc_id long, t string",
+    )
+    r = {row["doc_id"]: row for row in textstats.scrub_pii(df, "t").collect()}
+    assert r[1]["n_email"] == 2 and r[1]["n_ipv4"] == 1 and r[1]["n_phone"] == 1
+    assert "<EMAIL>" in r[1]["scrubbed"] and "<IPV4>" in r[1]["scrubbed"]
+    assert "@" not in r[1]["scrubbed"]
+    assert r[2]["scrubbed"] == "clean text" and r[2]["n_email"] == 0

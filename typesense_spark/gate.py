@@ -659,6 +659,34 @@ def q_token_counts(spark, sf_dir):
     return token_counts(_docs(spark, sf_dir), "text").orderBy("doc_id")
 
 
+def q_pii_scrub(spark, sf_dir):
+    """Training-pipeline PII redaction (ops/textstats.scrub_pii): the
+    corpus has no PII, so the gate PLANTS deterministic addresses
+    derived from doc_id — constructed identically in the oracle SQL —
+    then counts and redacts them with JVM regexes (map-side only)."""
+    from typesense_spark.ops.textstats import scrub_pii
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 call 555-123-4567"),
+        ).alias("pii_text"),
+    )
+    r = scrub_pii(d, "pii_text")
+    return r.select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        "scrubbed",
+    ).orderBy("doc_id")
+
+
 def q_fingerprint(spark, sf_dir):
     from typesense_spark.ops.textstats import fingerprints
 
@@ -769,6 +797,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_kmeans": q_ann_ivf_kmeans,
+    "pii_scrub": q_pii_scrub,
     "langid": q_langid,
     "quality": q_quality,
     "token_counts": q_token_counts,
@@ -1114,6 +1143,24 @@ def build_oracles() -> dict[str, str]:
     )
     markers_values = ", ".join(
         f"('{lang}', '{w}')" for lang, ws in LANG_MARKERS.items() for w in ws
+    )
+    from typesense_spark.ops.textstats import PII_PATTERNS
+
+    _pii_t = (
+        "text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com or 10.0.' "
+        "|| CAST(doc_id % 256 AS VARCHAR) || '.7 call 555-123-4567'"
+    )
+    _scrub = "t"
+    for _k in ("email", "phone", "ipv4"):
+        _scrub = f"regexp_replace({_scrub}, '{PII_PATTERNS[_k]}', '<{_k.upper()}>', 'g')"
+    o["pii_scrub"] = (
+        f"WITH pii AS (SELECT doc_id, {_pii_t} AS t FROM documents) "
+        "SELECT doc_id, "
+        + ", ".join(
+            f"CAST(len(regexp_extract_all(t, '{PII_PATTERNS[k]}')) AS BIGINT) AS n_{k}"
+            for k in ("email", "phone", "ipv4")
+        )
+        + f", {_scrub} AS scrubbed FROM pii ORDER BY doc_id"
     )
     o["langid"] = (
         _PRELUDE

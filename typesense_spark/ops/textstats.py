@@ -131,3 +131,40 @@ def fingerprints(
         .groupBy(F.col(id_col).alias("doc_id"))
         .agg((F.sum("c") % F.lit(FP_MOD)).alias("fingerprint"))
     )
+
+
+# PII patterns pinned to the Java/RE2 common regex subset (no
+# backreferences or lookaround) so Spark's regexp_* and DuckDB's RE2
+# engine match the SAME spans — the oracle mirrors these literally.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+}
+
+
+def scrub_pii(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+    kinds: tuple[str, ...] = ("email", "phone", "ipv4"),
+) -> DataFrame:
+    """Training-pipeline PII redaction: (doc_id, n_<kind>..., scrubbed).
+
+    Counts are taken on the ORIGINAL text (so kind counts are
+    independent of replacement order), then each kind's spans are
+    replaced by a ``<KIND>`` placeholder, email → phone → ipv4. All
+    JVM ``regexp_extract_all`` / ``regexp_replace`` expressions —
+    map-side only, zero shuffle, scales as a pure scan.
+    """
+    out = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+    counts = [
+        F.size(F.regexp_extract_all("_t", F.lit(PII_PATTERNS[k]), F.lit(0))).alias(
+            f"n_{k}"
+        )
+        for k in kinds
+    ]
+    scrubbed = F.col("_t")
+    for k in kinds:
+        scrubbed = F.regexp_replace(scrubbed, PII_PATTERNS[k], f"<{k.upper()}>")
+    return out.select("doc_id", *counts, scrubbed.alias("scrubbed"))

@@ -93,6 +93,11 @@ class SearchRequest:
     per_page: int = DEFAULT_PER_PAGE
     sort_by: tuple[tuple[str, str], ...] = ()  # [(col, 'asc'|'desc')]; wildcard
     include_fields: tuple[str, ...] = ()
+    # reference exclude_fields (src/core_api.cpp:366-369): strip these
+    # doc columns from the hits. With include_fields empty it means
+    # "every doc column except these"; with include_fields set it
+    # subtracts from that list.
+    exclude_fields: tuple[str, ...] = ()
     use_wand: bool = False
     # Q12 per-field weights, parallel to `fields`. Empty = the pinned
     # unweighted max-over-fields aggregation. Pass the reference's
@@ -691,7 +696,18 @@ def search(index: Index, req: SearchRequest) -> SearchResult:
     ]
     order += [F.col("score_milli").desc(), F.col("doc_id").desc()]
 
-    hydrated = matched.join(docs, "doc_id") if (req.sort_by or req.include_fields or req.group_by) else matched
+    # reference exclude_fields: resolve the effective projection list
+    # (include minus exclude; bare exclude = all doc columns minus it)
+    include_fields = req.include_fields
+    if req.exclude_fields:
+        base_cols = include_fields or tuple(
+            c for c in docs.columns if c not in ("doc_id", "content_sha")
+        )
+        include_fields = tuple(
+            c for c in base_cols if c not in req.exclude_fields
+        )
+
+    hydrated = matched.join(docs, "doc_id") if (req.sort_by or include_fields or req.group_by) else matched
 
     grouped = None
     if req.group_by:
@@ -705,7 +721,7 @@ def search(index: Index, req: SearchRequest) -> SearchResult:
 
     # Q14/Q22: distributed top-k (TakeOrderedAndProject) then page slice
     top_n = req.page * req.per_page
-    proj = ["rank", "doc_id", "score_milli", *req.include_fields]
+    proj = ["rank", "doc_id", "score_milli", *include_fields]
     if pinned:
         # Q20 pinned hits: driver-side positional splice of the (small)
         # winner list, like the reference (src/collection.cpp:897-922).
@@ -740,9 +756,9 @@ def search(index: Index, req: SearchRequest) -> SearchResult:
         hits = index.spark.createDataFrame(
             page_rows, schema="rank int, doc_id long, score_milli long, curated boolean"
         )
-        if req.include_fields:
+        if include_fields:
             hits = hits.join(
-                docs.select("doc_id", *req.include_fields), "doc_id", "left"
+                docs.select("doc_id", *include_fields), "doc_id", "left"
             )
         hits = hits.select(*proj, "curated")
     else:
