@@ -407,6 +407,33 @@ def q_export(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_snapshot_travel(spark, sf_dir):
+    """Iceberg-shaped snapshot layer (index/snapshots.py): build →
+    commit v1 → copy-on-write delete of doc_ids 0..9 → read BOTH
+    versions. Version 1 (time travel) must still contain the victims'
+    postings; version 2 (HEAD) must not — one relation, fully
+    hash-checkable against the plain tf oracle."""
+    import tempfile
+
+    from typesense_spark.index import build_index, snapshots
+
+    docs = _docs(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="ts_snap_")
+    bkw = dict(block_size=64, salt_threshold=200, n_salts=4)
+    ix = build_index(spark, docs, fields=["text"], id_col="doc_id", num_buckets=8, **bkw)
+    snapshots.commit_index(root, ix, n_groups=2, build_kw=bkw)
+    snapshots.delete_docs_versioned(spark, root, list(range(10)), ["text"])
+    parts = []
+    for v in (1, 2):
+        ixv = snapshots.load_index(spark, root, version=v)
+        parts.append(
+            ixv.decoded(["table", "merge"], ["text"]).select(
+                F.lit(v).alias("version"), "term", "doc_id", "tf"
+            )
+        )
+    return parts[0].unionByName(parts[1]).orderBy("version", "term", "doc_id")
+
+
 def q_delete_rebuild(spark, sf_dir):
     """S7: checkpointed build → delete doc_ids 0..9 → decoded postings
     of the REBUILT buckets must equal the surviving docs' tf exactly
@@ -778,6 +805,7 @@ QUERIES = {
     "facet_query": q_facet_query,
     "facet_stats": q_facet_stats,
     "export": q_export,
+    "snapshot_travel": q_snapshot_travel,
     "delete_rebuild": q_delete_rebuild,
     "upsert_rebuild": q_upsert_rebuild,
     "grouped": q_grouped,
@@ -934,6 +962,16 @@ def build_oracles() -> dict[str, str]:
     )
     o["export"] = (
         "SELECT doc_id, text, lang FROM documents WHERE lang = 'en' ORDER BY doc_id"
+    )
+    o["snapshot_travel"] = (
+        _PRELUDE
+        + " SELECT * FROM ("
+        "SELECT 1 AS version, term, doc_id, tf FROM tf "
+        "WHERE term IN ('table', 'merge') "
+        "UNION ALL "
+        "SELECT 2 AS version, term, doc_id, tf FROM tf "
+        "WHERE term IN ('table', 'merge') AND doc_id >= 10"
+        ") ORDER BY version, term, doc_id"
     )
     o["delete_rebuild"] = (
         _PRELUDE
