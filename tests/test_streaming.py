@@ -149,3 +149,50 @@ def test_running_event_totals_stateful(spark, tmp_path):
         cur = final.get(r["event_type"], (0, 0))
         final[r["event_type"]] = max(cur, (r["n_events"], r["sum_value_cents"]))
     assert final == want
+
+
+def test_snapshotted_stream_commits_atomic_versions(spark, corpus_df, built_index, tmp_path):
+    """Each micro-batch = one snapshot version: HEAD search sees the
+    streamed docs; the pre-stream version (time travel) does not."""
+    from typesense_spark.corpus import CORPUS_SCHEMA, generate_rows
+    from typesense_spark.index import snapshots
+    from typesense_spark.search import SearchRequest, search
+    from typesense_spark.streaming import snapshotted_index_stream
+
+    root = str(tmp_path / "snap_root")
+    bkw = dict(block_size=32, salt_threshold=100, n_salts=4)
+    v1 = snapshots.commit_index(root, built_index, n_groups=2, build_kw=bkw)
+
+    base_max = built_index.docs.agg(F.max("doc_id")).collect()[0][0]
+    new_rows = generate_rows(10, seed=9, start=7000)
+    df = spark.createDataFrame(new_rows, schema=CORPUS_SCHEMA)
+    df = df.withColumn(
+        "doc_id",
+        (F.lit(base_max + 1) + F.row_number().over(Window.orderBy("path")) - 1).cast("long"),
+    )
+    src = str(tmp_path / "snap_src")
+    df.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = snapshotted_index_stream(
+        root, stream, "content", str(tmp_path / "snap_ckpt"), block_size=32
+    )
+    q.awaitTermination(120)
+
+    head = snapshots.head_version(root)
+    assert head > v1
+    req = SearchRequest(q="import", fields=("content",), num_typos=0)
+    # compare FULL matched sets (hits is a ≤250-row page, which truncates
+    # differently once streamed docs join the ranking)
+    ids_head = {
+        r["doc_id"]
+        for r in search(snapshots.load_index(spark, root), req).matched.collect()
+    }
+    ids_v1 = {
+        r["doc_id"]
+        for r in search(snapshots.load_index(spark, root, version=v1), req).matched.collect()
+    }
+    streamed = set(range(base_max + 1, base_max + 11))
+    assert streamed & ids_head, "no streamed doc matched at HEAD"
+    assert not (streamed & ids_v1), "time-travel version leaked streamed docs"
+    assert ids_head - streamed == ids_v1  # base hits unchanged (frozen stats)

@@ -188,22 +188,35 @@ def commit_index(
 
 
 def load_index(spark: SparkSession, root: str, version: int | None = None):
-    """Load the Index at HEAD or at a pinned ``version`` (time travel)."""
+    """Load the Index at HEAD or at a pinned ``version`` (time travel).
+
+    Multi-part logical tables union by prefix: ``postings/...`` parts
+    (checkpoint groups AND streamed batches), ``docs/...`` and
+    ``doc_attrs/...`` stream appendices — so a snapshot written by the
+    batch build and extended by ``snapshotted_index_stream`` reads as
+    one coherent index."""
     from functools import reduce
 
     from typesense_spark.index.build import FieldStats, Index
 
     m = read_manifest(root, version)
     t = load_tables(spark, root, version)
-    posting_parts = [df for name, df in t.items() if name.startswith(POSTINGS_PREFIX)]
-    postings = reduce(lambda a, b: a.unionByName(b), posting_parts)
+
+    def _union(base_name: str) -> DataFrame:
+        parts = [
+            df
+            for name, df in t.items()
+            if name == base_name or name.startswith(base_name + "/")
+        ]
+        return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)
+
     meta = m["meta"]
     return Index(
         spark=spark,
-        docs=t["docs"],
-        doc_attrs=t["doc_attrs"],
+        docs=_union("docs"),
+        doc_attrs=_union("doc_attrs"),
         terms=t["terms"],
-        postings=postings,
+        postings=_union("postings"),
         stats={k: FieldStats(**v) for k, v in meta["stats"].items()},
         num_buckets=meta["num_buckets"],
         out_dir=root,

@@ -158,3 +158,70 @@ def running_event_totals(events_stream: DataFrame, timeout_ms: int = 0) -> DataF
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def snapshotted_index_stream(
+    root: str,
+    new_docs_stream: DataFrame,
+    content_field: str,
+    checkpoint_dir: str,
+    block_size: int = 128,
+):
+    """Streaming ingest with Iceberg-style ATOMIC per-batch visibility.
+
+    Each micro-batch commits ONE snapshot version at ``root``
+    (index/snapshots.py): its packed posting blocks, docs, and
+    doc_attrs land as new immutable tables named by batch id
+    (``postings/stream=<id>`` …) and HEAD swings only after the
+    batch's data and manifest are durable — a reader always sees a
+    complete prefix of the stream, never a torn batch, and every
+    earlier version stays queryable (time travel). Naming tables by
+    batch id also makes foreachBatch RETRIES idempotent at the
+    manifest level: a replayed batch overrides its own table entries
+    in the next manifest instead of duplicating postings.
+
+    Frozen-stats semantics as :func:`incremental_index_stream`; the
+    base dictionary/stats come from ``root``'s snapshot meta.
+    """
+    from typesense_spark.index import snapshots
+    from typesense_spark.index.build import TF_SCHEMA, pack_pipeline, tokenize_mapper
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        base = snapshots.load_index(spark, root)
+        meta = snapshots.read_manifest(root)["meta"]
+        tf = batch_df.select("doc_id", content_field).mapInPandas(
+            tokenize_mapper(content_field, True), schema=TF_SCHEMA
+        )
+        packed = pack_pipeline(
+            spark,
+            tf,
+            base.terms,
+            base.stats,
+            [content_field],
+            num_buckets=base.num_buckets,
+            block_size=block_size,
+            salt_threshold=2**62,  # micro-batches are small: no salting
+            n_salts=1,
+            store_positions=True,
+        )
+        attrs = tf.groupBy("field", "doc_id").agg(F.max("dl").alias("dl"))
+        snapshots.commit(
+            root,
+            {
+                f"docs/stream={batch_id}": batch_df,
+                f"doc_attrs/stream={batch_id}": attrs,
+                f"postings/stream={batch_id}": packed,
+            },
+            op=f"stream batch {batch_id}",
+            meta=meta,
+        )
+
+    return (
+        new_docs_stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
