@@ -267,3 +267,43 @@ def test_prefix_expansion_no_global_window(built_index):
     for line in plan.splitlines():
         if "Window [" in line:
             assert "], [], [" not in line, f"global window found: {line}"
+
+
+def test_jaccard_plan_no_global_distinct(spark, built_index):
+    """Per-doc shingle dedup is map-side array_distinct (r3): the plan
+    must contain NO global Deduplicate over the raw shingle rows."""
+    from typesense_spark.ops.dedup import ngram_jaccard_pairs
+
+    plan = (
+        ngram_jaccard_pairs(built_index.docs, "content")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "array_distinct" in plan
+    assert "Deduplicate" not in plan
+
+
+def test_batch_exact_expansion_skips_levenshtein(spark, built_index):
+    """Cost-0 tokens resolve via a plain term equi-join (r3): a
+    typo-free batch expansion must not evaluate levenshtein anywhere."""
+    from typesense_spark.search.engine import _terms_agg
+    from typesense_spark.search.expand import expand_tokens_batch
+
+    terms = _terms_agg(built_index, ("content",))
+    # rebuild the exact branch the way expand_tokens_batch does and
+    # assert its physical join shape, then check the public API output
+    from pyspark.sql import functions as F
+
+    et = terms.sparkSession.createDataFrame([("import",), ("merge0",)], schema="tok string")
+    plan = (
+        terms.join(F.broadcast(et), F.col("term") == F.col("tok"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "levenshtein" not in plan
+    # and the public API agrees with the per-token expander
+    out = expand_tokens_batch(terms, [("import", False), ("merge0", False)], num_typos=0)
+    assert out[("import", False)] and out[("merge0", False)]
+    assert all(c == 0 for _, c in out[("import", False)])
