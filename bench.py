@@ -336,7 +336,7 @@ def _steal_pct(before: dict, after: dict):
         return None
 
 
-def _spawn_submit_build(cores: int, n_docs: int, zip_path: str) -> dict:
+def _spawn_submit_build(cores: int, n_docs: int, zip_path: str, input_path: str) -> dict:
     """north-rule launch-shape evidence: the LITERAL
     ``spark-submit --py-files <pkg.zip> jobs/build_index_job.py`` run
     (what a real multi-executor cluster submission looks like), pinned
@@ -356,7 +356,8 @@ def _spawn_submit_build(cores: int, n_docs: int, zip_path: str) -> dict:
         "--conf", "spark.ui.enabled=false",
         "--driver-memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "jobs", "build_index_job.py"),
-        "--synthetic-docs", str(n_docs),
+        "--input", input_path,
+        "--key-cols", "repo,path,commit",
         "--out", out_dir,
         "--no-resume",
         # 2 commit groups: each group re-tokenizes map-side, so group
@@ -405,9 +406,23 @@ def _submit_section(n_docs: int) -> dict:
                 if fn.endswith(".py"):
                     full = os.path.join(root, fn)
                     zf.write(full, os.path.relpath(full, os.path.dirname(pkg)))
+    # the corpus is synthesized ONCE, untimed, outside the pinned jobs —
+    # the submit levels must time the BUILD, exactly like the in-memory
+    # trials (which materialize the source before starting the clock)
+    input_path = os.path.join(tempfile.mkdtemp(prefix="ts_submit_src_"), "corpus")
+    from typesense_spark import get_spark
+    from typesense_spark.corpus import corpus_df
+
+    gen = get_spark("submit-src-gen")
+    corpus_df(gen, n_docs).write.mode("overwrite").parquet(input_path)
+    gen.stop()
+
     levels = {}
     for cores in (2, 8):
-        trials = [_spawn_submit_build(cores, n_docs, zip_path) for _ in range(2)]
+        trials = [
+            _spawn_submit_build(cores, n_docs, zip_path, input_path)
+            for _ in range(2)
+        ]
         levels[f"{cores}c"] = min(trials, key=lambda r: r["build_wall_sec"])
     eff = round(
         (levels["8c"]["docs_per_sec"] / levels["2c"]["docs_per_sec"]) / 4.0, 3
