@@ -81,6 +81,20 @@ def batch_search(
         cand_map = {
             spec: ([(spec[0], 0)] if spec[0] in present else []) for spec in specs
         }
+    elif not _use_spark_expand(index, fields):
+        # small dictionary: the collected {term: df} dict expands every
+        # unique spec driver-side in microseconds — the Spark-join batch
+        # plan below exists for dictionaries too large to collect
+        # (same auto-routing threshold as engine.search)
+        from typesense_spark.search.expand import expand_token
+
+        term_df = _get_term_df(index, fields)
+        cand_map = {
+            (tok, pref): expand_token(
+                tok, term_df, num_typos, prefix=pref, distance=typo_distance
+            )
+            for tok, pref in specs
+        }
     else:
         cand_map = expand_tokens_batch(
             _terms_agg(index, fields), specs, num_typos, typo_distance
