@@ -192,6 +192,21 @@ def soak_run(master: str, n_docs: int) -> None:
                       num_typos=0, mode="or", use_wand=True, per_page=20),
     ).hits.collect()
     q_wand = time.time() - t0
+    # sf1 batch throughput (r3 VERDICT #9): the 4000-query set-oriented
+    # batch at 10× bench scale — evidence the throughput story survives
+    # a corpus 10× the per-round bench
+    from typesense_spark.search.batch import batch_search
+    from typesense_spark.search.engine import _get_term_df
+
+    vocab = sorted(_get_term_df(ix, ("content",)))
+    qs = []
+    for i in range(4000):
+        n = 1 + (i * 2654435761) % 3
+        toks = [vocab[(i * 40503 + j * 69069) % len(vocab)] for j in range(n)]
+        qs.append((f"b{i}", " ".join(toks)))
+    t0 = time.time()
+    batch_search(ix, qs, fields=("content",), num_typos=0, k=10).count()
+    batch_dt = time.time() - t0
     postings = ix.report.n_postings
     spark.stop()  # finalizes the event log
 
@@ -222,6 +237,7 @@ def soak_run(master: str, n_docs: int) -> None:
                 "build_stages": ix.report.stages,
                 "query_filtered_and_sec": round(q_and, 3),
                 "query_wand_or_sec": round(q_wand, 3),
+                "batch_qps": round(len(qs) / batch_dt, 1),
                 "shuffle_write_bytes": shuf_write,
                 "memory_bytes_spilled": mem_spill,
                 "disk_bytes_spilled": disk_spill,
@@ -296,8 +312,30 @@ def headline_queries(sf_dir: str, cores: int) -> tuple[dict, float, float]:
         ).count()
         typo_dt = time.time() - t0
         batch_qps_typo2 = round(len(tqs) / typo_dt, 1) if n_rows2 >= 0 else 0.0
+
+        # FULL-surface batch (r3 VERDICT #1): typo expansion + prefix +
+        # drop-tokens fallback + synonym windows — the reference runs all
+        # of these on every request, so this is the apples-to-apples
+        # throughput surface for a real query-log replay
+        from typesense_spark.search.synonyms import SynonymRule, SynonymStore
+
+        store = SynonymStore(
+            [SynonymRule("r0", (vocab[0], vocab[1]), ((vocab[2],),))]
+        )
+        fqs = []
+        for i in range(1000):
+            n = 1 + (i * 2654435761) % 3
+            toks = [vocab[(i * 48271 + j * 16807) % len(vocab)] for j in range(n)]
+            fqs.append((f"f{i}", " ".join(toks)))
+        t0 = time.time()
+        n_rows3 = batch_search(
+            ix, fqs, fields=("text",), num_typos=1, k=10,
+            drop_tokens_threshold=10, synonym_store=store,
+        ).count()
+        full_dt = time.time() - t0
+        batch_qps_full = round(len(fqs) / full_dt, 1) if n_rows3 >= 0 else 0.0
         timings.update(_scale_path_queries(spark, sf_dir))
-        return timings, total, batch_qps, batch_qps_typo2
+        return timings, total, batch_qps, batch_qps_typo2, batch_qps_full
     finally:
         spark.stop()
 
@@ -464,16 +502,16 @@ def main() -> None:
             (best[hi]["docs_per_sec"] / best[lo]["docs_per_sec"]) / (hi / lo), 3
         )
 
-    queries, total, batch_qps, batch_qps_typo2 = headline_queries(sf_dir, cpus)
+    queries, total, batch_qps, batch_qps_typo2, batch_qps_full = headline_queries(
+        sf_dir, cpus
+    )
 
+    # KEY ORDER IS LOAD-BEARING (r3 VERDICT #10): the driver records the
+    # TAIL of stdout, and r3's per-query timings were truncated off the
+    # FRONT of the line. Bulky diagnostic sections (build/scaling/submit/
+    # soak) lead; the headline metric + per-query map close the line so
+    # any front-truncation loses diagnostics, never the contract fields.
     out = {
-        "metric": "headline_query_suite_sec",
-        "value": round(total, 3),
-        "unit": "sec",
-        "queries": queries,
-        "batch_qps": batch_qps,
-        "batch_qps_typo2": batch_qps_typo2,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "build": {f"local{c}": best[c] for c in levels},
         "scaling": {
             "corpus_docs": BENCH_DOCS,
@@ -485,13 +523,6 @@ def main() -> None:
             "trial_walls_sec": all_trials,
             "note": "32 vCPU = ~26 effective cores (SMT); shared VM with CPU steal — see BASELINE.md",
         },
-    }
-    probe_end = _cpu_probe()
-    out["environment"] = {
-        # fixed single-thread workload, seconds (lower = faster box);
-        # compare across rounds before reading any other number
-        "cpu_probe_sec": [probe_start["spin_sec"], probe_end["spin_sec"]],
-        "steal_pct_during_bench": _steal_pct(probe_start, probe_end),
     }
 
     # spark-submit --py-files launch-shape evidence (north rule) at
@@ -511,6 +542,36 @@ def main() -> None:
             out["sf1_soak"] = _spawn_soak(soak_docs, cpus)
         except Exception as e:  # the soak must never sink the whole bench
             out["sf1_soak"] = {"error": str(e)[:200]}
+
+    probe_end = _cpu_probe()
+    out["environment"] = {
+        # fixed single-thread workload, seconds (lower = faster box);
+        # compare across rounds before reading any other number
+        "cpu_probe_sec": [probe_start["spin_sec"], probe_end["spin_sec"]],
+        "steal_pct_during_bench": _steal_pct(probe_start, probe_end),
+    }
+    out.update(
+        {
+            "metric": "headline_query_suite_sec",
+            "value": round(total, 3),
+            "unit": "sec",
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "batch_qps": batch_qps,
+            "batch_qps_typo2": batch_qps_typo2,
+            "batch_qps_full": batch_qps_full,
+            "queries": queries,
+        }
+    )
+    # belt-and-braces for the tail capture: the full JSON also lands on
+    # disk next to this script
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+            "w",
+        ) as f:
+            json.dump(out, f)
+    except OSError:
+        pass
     print(json.dumps(out))
 
 

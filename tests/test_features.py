@@ -485,3 +485,71 @@ def test_exclude_fields_projection(built_index):
     assert "content" not in cols
     assert {"repo", "path", "commit", "lang"} <= cols
     assert r2.hits.count() > 0
+
+
+def _batch_vs_engine(index, qset, batch_kw, engine_kw, k=5):
+    from typesense_spark.search.batch import batch_search
+
+    out = batch_search(index, qset, k=k, **batch_kw)
+    by_qid = {}
+    for r in out.collect():
+        by_qid.setdefault(r["qid"], []).append(
+            (r["rank"], r["doc_id"], r["score_milli"])
+        )
+    for qid, q in qset:
+        res = search(index, SearchRequest(q=q, per_page=k, **engine_kw))
+        want = [(r["rank"], r["doc_id"], r["score_milli"]) for r in res.hits.collect()]
+        got = sorted(by_qid.get(qid, []))
+        assert got == want, (qid, got, want)
+
+
+def test_batch_search_full_surface_matches_per_query(built_index):
+    """Full-surface batch (r3 VERDICT #1): drop-tokens fallback, synonym
+    windows, and exclusions run set-oriented, query-identical to
+    engine.search."""
+    from typesense_spark.search.synonyms import SynonymRule, SynonymStore
+
+    store = SynonymStore([SynonymRule("r1", ("import", "return"), (("def",),))])
+    qset = [
+        ("a", "import zzznope"),   # drop-tokens fallback → ['import']
+        ("b", "import return"),    # synonym window rewrite → ['def']
+        ("c", "import -return"),   # exclusion
+        ("d", "merge0"),
+        ("e", "zzznope zzzmore"),  # unsatisfiable even after drops
+        ("f", "import return class zzznope"),  # 4-token drop schedule
+    ]
+    kw = dict(
+        fields=("content",), num_typos=0,
+        drop_tokens_threshold=10, synonym_store=store,
+    )
+    _batch_vs_engine(built_index, qset, kw, kw)
+
+
+def test_batch_search_full_surface_with_typos_and_synonyms_dict(built_index):
+    """Typo expansion + single-token synonym alternates + fallback in
+    one batch plan."""
+    qset = [
+        ("a", "improt"),            # typo → import
+        ("b", "import zzznope"),    # fallback
+        ("c", "zygomorphik"),       # rare-term typo target
+    ]
+    kw = dict(
+        fields=("content",), num_typos=2,
+        drop_tokens_threshold=10, synonyms={"import": ["return"]},
+    )
+    _batch_vs_engine(built_index, qset, kw, kw)
+
+
+def test_batch_search_weighted_fields_matches_per_query(spark, corpus_df):
+    """query_by_weights in batch mode: per-field weighted best, parity
+    with engine._score_tokens' weighted branch."""
+    ix = build_index(
+        spark, corpus_df, fields=["content", "lang"],
+        key_cols=["repo", "path", "commit"], num_buckets=4, block_size=32,
+    )
+    qset = [("a", "import python"), ("b", "return go"), ("c", "class java")]
+    kw = dict(
+        fields=("content", "lang"), num_typos=0, mode="or",
+        query_by_weights=(2, 1), drop_tokens_threshold=10,
+    )
+    _batch_vs_engine(ix, qset, kw, kw)

@@ -771,6 +771,137 @@ BATCH_QUERIES = [
     ("q8", "table merge window"),
 ]
 
+# full-surface batch (r3 VERDICT #1): typo expansion + prefix-on-last +
+# drop-tokens fallback + a synonym-window rewrite + an exclusion, all in
+# ONE batch plan; per-query semantics == engine.search (asserted in
+# tests/test_features.py), oracled end-to-end below
+BATCH_FULL_QUERIES = [
+    ("f1", "table scan"),
+    ("f2", "merge zzznope"),  # fallback → ['merge']
+    ("f3", "merge batch"),  # synonym rule rewrites to ['window']
+    ("f4", "window -fast"),  # exclusion
+    ("f5", "stream data order"),  # 3-token drop schedule
+]
+BATCH_FULL_KW = dict(num_typos=1, prefix_last=True, drop_tokens_threshold=10, k=10)
+
+
+def _batch_full_store():
+    from typesense_spark.search.synonyms import SynonymRule, SynonymStore
+
+    return SynonymStore(
+        [SynonymRule("mb-window", ("merge", "batch"), (("window",),))]
+    )
+
+
+def _batch_full_vectors():
+    """The static query-rewrite structure (attempt schedule + synonym
+    variants) shared by the Spark path and the oracle — pure driver-side
+    string work in BOTH implementations; everything dynamic (tokenize,
+    BM25, expansion, fallback cutoff) is recomputed independently in SQL.
+    Returns [(vid, qid, aidx, is_syn, tokens)] and {qid: [excluded]}."""
+    from typesense_spark.search.batch import _attempt_plan
+    from typesense_spark.search.engine import parse_query
+    from typesense_spark.search.synonyms import synonym_reduction
+
+    store = _batch_full_store()
+    vectors, excl = [], {}
+    vid = 0
+    for qid, q in BATCH_FULL_QUERIES:
+        tokens, excludes = parse_query(q)
+        if excludes:
+            excl[qid] = excludes
+        for aidx, attempt in enumerate(
+            _attempt_plan(tokens, BATCH_FULL_KW["drop_tokens_threshold"])
+        ):
+            vectors.append((vid, qid, aidx, 0, attempt))
+            vid += 1
+        for si, vtoks in enumerate(synonym_reduction(tokens, store)):
+            vectors.append((vid, qid, 1_000_000 + si, 1, vtoks))
+            vid += 1
+    return vectors, excl
+
+
+def q_batch_full(spark, sf_dir):
+    """Full-surface batch mode (r3 VERDICT #1): typos, prefix, synonym
+    windows, drop-tokens fallback, and exclusions — N queries, one
+    set-oriented plan (search/batch.py)."""
+    from typesense_spark.search.batch import batch_search
+
+    return batch_search(
+        get_index(spark, sf_dir), BATCH_FULL_QUERIES, fields=("text",),
+        synonym_store=_batch_full_store(), **BATCH_FULL_KW
+    ).orderBy("qid", "rank")
+
+
+def batch_full_oracle() -> str:
+    """DuckDB SQL for the full-surface batch gate: per-vector candidate
+    expansion (typo caps + prefix top-10, mirroring expand.expand_token),
+    per-vector AND scoring, the drop-tokens cumulative-count cutoff as a
+    window computation, synonym-variant max-score merge, and per-query
+    exclusions — all recomputed from the raw documents view."""
+    vectors, excl = _batch_full_vectors()
+    nt, pl, thr, k = (
+        BATCH_FULL_KW["num_typos"],
+        BATCH_FULL_KW["prefix_last"],
+        BATCH_FULL_KW["drop_tokens_threshold"],
+        BATCH_FULL_KW["k"],
+    )
+    cand_parts = []
+    vmeta_vals = []
+    for vid, qid, aidx, is_syn, toks in vectors:
+        vmeta_vals.append(f"({vid}, '{qid}', {aidx}, {is_syn}, {len(toks)})")
+        for i, tok in enumerate(toks):
+            mc = bounded_typo_cost(tok, nt)
+            cand_parts.append(
+                f"SELECT {vid} AS vid, {i} AS qidx, term FROM ("
+                f"SELECT term, levenshtein(term, '{tok}') AS cost, "
+                f"row_number() OVER (PARTITION BY levenshtein(term, '{tok}') "
+                f"ORDER BY df DESC, term) AS rn "
+                f"FROM tstat WHERE levenshtein(term, '{tok}') <= {mc}"
+                f") WHERE cost = 0 OR rn <= {MAX_CANDIDATES}"
+            )
+            if pl and i == len(toks) - 1:
+                cand_parts.append(
+                    f"SELECT {vid} AS vid, {i} AS qidx, term FROM ("
+                    f"SELECT term, row_number() OVER (ORDER BY df DESC, term) AS rn "
+                    f"FROM tstat WHERE term LIKE '{tok}%' AND term <> '{tok}'"
+                    f") WHERE rn <= {MAX_CANDIDATES_PREFIX}"
+                )
+    ex_vals = [
+        f"('{qid}', '{t}')" for qid, toks in excl.items() for t in toks
+    ] or ["('__none__', '__none__')"]
+    return (
+        _PRELUDE
+        + f", vmeta(vid, qid, aidx, is_syn, n_tokens) AS (VALUES {', '.join(vmeta_vals)})"
+        + ", bcand AS (SELECT DISTINCT vid, qidx, term FROM ("
+        + " UNION ALL ".join(cand_parts)
+        + "))"
+        + ", vtok AS (SELECT bcand.vid, bcand.qidx, contrib.doc_id, "
+        "max(contrib.c) AS best FROM contrib JOIN bcand USING (term) GROUP BY 1, 2, 3)"
+        + ", vsc AS (SELECT v.vid, v.qid, v.aidx, v.is_syn, t.doc_id, "
+        "CAST(sum(t.best) AS BIGINT) AS s FROM vtok t JOIN vmeta v USING (vid) "
+        "GROUP BY 1, 2, 3, 4, 5, v.n_tokens HAVING count(*) = v.n_tokens)"
+        + ", firsts AS (SELECT qid, doc_id, min(aidx) AS fa FROM vsc "
+        "WHERE is_syn = 0 GROUP BY 1, 2)"
+        + ", cum AS (SELECT qid, fa, sum(count(*)) OVER "
+        "(PARTITION BY qid ORDER BY fa) AS cumn FROM firsts GROUP BY 1, 2)"
+        + f", cut AS (SELECT qid, min(fa) AS cutoff FROM cum WHERE cumn >= {thr} GROUP BY 1)"
+        + ", allsc AS ("
+        "SELECT o.qid, o.doc_id, o.s FROM vsc o LEFT JOIN cut USING (qid) "
+        "WHERE o.is_syn = 0 AND o.aidx <= coalesce(cut.cutoff, 1000000) "
+        "UNION ALL SELECT qid, doc_id, s FROM vsc WHERE is_syn = 1)"
+        + f", exmap(qid, term) AS (VALUES {', '.join(ex_vals)})"
+        + ", exdocs AS (SELECT DISTINCT e.qid, tok.doc_id "
+        "FROM tok JOIN exmap e ON tok.term = e.term)"
+        + ", mrg AS (SELECT a.qid, a.doc_id, CAST(max(a.s) AS BIGINT) AS score_milli "
+        "FROM allsc a ANTI JOIN exdocs x ON x.qid = a.qid AND x.doc_id = a.doc_id "
+        "GROUP BY 1, 2)"
+        + " SELECT qid, CAST(rn AS BIGINT) AS rank, doc_id, score_milli FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY qid "
+        "ORDER BY score_milli DESC, doc_id DESC) AS rn FROM mrg) "
+        f"WHERE rn <= {k} ORDER BY qid, rank"
+    )
+
 
 def q_batch_queries(spark, sf_dir):
     """Set-oriented multi-query search: 8 queries in ONE Spark job
@@ -833,6 +964,7 @@ QUERIES = {
     "events_window": q_events_window,
     "events_json": q_events_json,
     "batch_queries": q_batch_queries,
+    "batch_full": q_batch_full,
 }
 
 
@@ -1262,6 +1394,7 @@ def build_oracles() -> dict[str, str]:
         "SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score_milli DESC, doc_id DESC) AS rn "
         "FROM scored) WHERE rn <= 10 ORDER BY qid, rank"
     )
+    o["batch_full"] = batch_full_oracle()
     o["events_window"] = (
         # floor() before the cast: DuckDB's epoch() keeps fractional
         # seconds and CAST(double AS BIGINT) rounds, shifting boundary rows

@@ -610,6 +610,9 @@ class Index:
     num_buckets: int
     report: BuildReport | None = None
     out_dir: str | None = None
+    # block packing granularity, recorded so the query side can estimate
+    # block counts from df alone (WAND engagement heuristic — no count job)
+    block_size: int = 128
 
     def candidate_postings(self, terms: list[str], fields: list[str]) -> DataFrame:
         """Partition-pruned scan: term_bucket IN (...) AND term IN (...)."""
@@ -638,6 +641,7 @@ class Index:
             json.dump(
                 {
                     "num_buckets": self.num_buckets,
+                    "block_size": self.block_size,
                     "stats": {k: {"n_docs": v.n_docs, "sum_dl": v.sum_dl} for k, v in self.stats.items()},
                 },
                 f,
@@ -655,6 +659,7 @@ class Index:
             postings=spark.read.parquet(os.path.join(out_dir, "postings")),
             stats={k: FieldStats(**v) for k, v in meta["stats"].items()},
             num_buckets=meta["num_buckets"],
+            block_size=meta.get("block_size", 128),
             out_dir=out_dir,
         )
 
@@ -843,6 +848,7 @@ def build_index(
         stats=stats,
         num_buckets=num_buckets,
         report=report,
+        block_size=block_size,
     )
     ix._tf_light = tf_light  # handle for callers that unpersist mid-job
     return ix

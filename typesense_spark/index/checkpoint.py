@@ -321,5 +321,6 @@ def load_checkpointed(spark: SparkSession, out_dir: str) -> Index:
         postings=spark.read.parquet(os.path.join(out_dir, "postings")).drop("group"),
         stats={k: FieldStats(**v) for k, v in meta["stats"].items()},
         num_buckets=meta["num_buckets"],
+        block_size=meta.get("block_size", 128),
         out_dir=out_dir,
     )

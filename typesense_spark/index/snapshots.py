@@ -78,6 +78,27 @@ def history(root: str) -> list[dict]:
     return out
 
 
+def _clean_orphans(root: str, version: int) -> None:
+    """Crashed-commit recovery: HEAD advances only after a complete
+    commit, so any ``data/<table>/v<version>`` directory or
+    ``snapshots/v<version>.json`` at version = HEAD+1 is unreachable
+    debris from an attempt that died before the pointer swap. Removing
+    it here makes a retried commit (e.g. a replayed foreachBatch)
+    succeed instead of wedging forever on mode('errorifexists')."""
+    import shutil
+
+    mpath = _manifest_path(root, version)
+    if os.path.exists(mpath):
+        os.remove(mpath)
+    ddir = os.path.join(root, DATA_DIR)
+    if os.path.isdir(ddir):
+        vtag = f"v{version:06d}"
+        for tname in os.listdir(ddir):
+            p = os.path.join(ddir, tname, vtag)
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+
+
 def commit(
     root: str,
     tables: dict[str, DataFrame],
@@ -91,6 +112,16 @@ def commit(
     counts ride the writes (Observation — no read-back pass). The new
     manifest is fsynced before HEAD swings, so a reader can never
     resolve a version without its manifest.
+
+    Concurrency contract: SINGLE WRITER (like Iceberg's table-level
+    commit lock; the CAS catalog swap belongs in a catalog service,
+    not a filesystem). An accidental second writer fails LOUDLY
+    instead of corrupting state: the manifest is created with
+    O_CREAT|O_EXCL (the loser of a version race gets FileExistsError)
+    and HEAD is re-checked against the parent immediately before the
+    swap. Crashed attempts are cleaned up on the next commit
+    (:func:`_clean_orphans`), so a retry never wedges on the
+    immutable-directory guard.
     """
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
@@ -102,6 +133,7 @@ def commit(
     )
 
     os.makedirs(os.path.join(root, SNAP_DIR), exist_ok=True)
+    _clean_orphans(root, version)
     entries: dict[str, dict] = dict(parent_tables)  # inherit, then overwrite
     for name, df in tables.items():
         rel = os.path.join(DATA_DIR, name.replace("/", "__"), f"v{version:06d}")
@@ -120,10 +152,19 @@ def commit(
         "meta": meta or {},
     }
     mpath = _manifest_path(root, version)
-    with open(mpath, "w") as f:
+    fd = os.open(mpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+    with os.fdopen(fd, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
         f.flush()
         os.fsync(f.fileno())
+    if head_version(root) != parent:
+        # a concurrent writer swung HEAD since we read it — abandon our
+        # manifest (it cites a stale parent) and fail the commit
+        os.remove(mpath)
+        raise RuntimeError(
+            f"concurrent snapshot commit detected at {root}: HEAD moved "
+            f"past parent {parent} — snapshots require a single writer"
+        )
     tmp = os.path.join(root, HEAD_FILE + ".tmp")
     with open(tmp, "w") as f:
         f.write(str(version))
@@ -175,6 +216,10 @@ def commit_index(
     meta = {
         "num_buckets": ix.num_buckets,
         "n_groups": n_groups,
+        # the indexed fields, recorded so maintenance commits rebuild
+        # postings for the SAME field set the index was built with
+        # (callers can't silently drop a field's postings)
+        "fields": sorted(ix.stats.keys()),
         "build_kw": {
             "block_size": 128,
             "salt_threshold": 100_000,
@@ -219,26 +264,53 @@ def load_index(spark: SparkSession, root: str, version: int | None = None):
         postings=_union("postings"),
         stats={k: FieldStats(**v) for k, v in meta["stats"].items()},
         num_buckets=meta["num_buckets"],
+        block_size=meta.get("build_kw", {}).get("block_size", 128),
         out_dir=root,
     )
 
 
 def delete_docs_versioned(
-    spark: SparkSession, root: str, doc_ids: list[int], fields: list[str]
+    spark: SparkSession, root: str, doc_ids: list[int], fields: list[str] | None = None
 ) -> dict:
     """Copy-on-write delete: a NEW snapshot whose docs/doc_attrs and
     AFFECTED postings groups are rewritten; untouched groups inherit
     the parent's immutable directories — and the parent version remains
     queryable (time travel), unlike the in-place ``maintain.delete_docs``.
-    Frozen-stats semantics match maintain (terms/stats unchanged)."""
+    Frozen-stats semantics match maintain (terms/stats unchanged).
+
+    The field set comes from the manifest (``commit_index`` records it),
+    so a caller can't silently drop a field's postings from the rebuilt
+    groups; a caller-supplied ``fields`` is validated against it.
+
+    Stream appendices (``docs/stream=*`` … written by
+    ``snapshotted_index_stream``) are first-class: every docs/doc_attrs
+    table is rewritten with the victim filter, and a stream postings
+    table is repacked from its surviving docs iff it actually contains
+    a victim — untouched stream batches inherit unchanged."""
     from pyspark.sql import functions as F
 
-    from typesense_spark.index.build import TF_SCHEMA, term_bucket_expr, tokenize_mapper
+    from typesense_spark.index.build import (
+        FieldStats,
+        TF_SCHEMA,
+        pack_pipeline,
+        term_bucket_expr,
+        tokenize_mapper,
+    )
 
     m = read_manifest(root)
     meta = m["meta"]
     n_groups = meta["n_groups"]
     num_buckets = meta["num_buckets"]
+    manifest_fields = meta.get("fields")
+    if manifest_fields is None:
+        if fields is None:
+            raise ValueError("manifest records no fields; pass fields explicitly")
+        manifest_fields = list(fields)
+    elif fields is not None and sorted(fields) != sorted(manifest_fields):
+        raise ValueError(
+            f"fields {sorted(fields)} != indexed fields {sorted(manifest_fields)}"
+        )
+    fields = list(manifest_fields)
     t = load_tables(spark, root)
     ids = [int(d) for d in doc_ids]
     victims = t["docs"].where(F.col("doc_id").isin(ids))
@@ -256,21 +328,14 @@ def delete_docs_versioned(
         touched |= {int(r["b"]) for r in rows}
     groups = sorted({b % n_groups for b in touched})
 
-    new_tables: dict[str, DataFrame] = {
-        "docs": t["docs"].where(~F.col("doc_id").isin(ids)),
-        "doc_attrs": t["doc_attrs"].where(~F.col("doc_id").isin(ids)),
-    }
-    # affected groups: decode → drop victims → repack would re-run the
-    # block packer; equivalent and simpler at the block level: keep
-    # blocks, rewritten from the ORIGINAL corpus minus victims, by
-    # rebuilding just those groups' postings from the surviving docs
-    # against the FROZEN dictionary
-    from typesense_spark.index.build import pack_pipeline
+    frozen = {k: FieldStats(**v) for k, v in meta["stats"].items()}
+    bk = meta["build_kw"]
 
-    survivors = new_tables["docs"]
-    for g in groups:
+    def _repack(docs_df: DataFrame, group: int | None) -> DataFrame:
+        """Survivor docs → packed postings against the FROZEN dictionary
+        (optionally restricted to one commit group's buckets)."""
         tf_parts = [
-            survivors.select("doc_id", fld).mapInPandas(
+            docs_df.select("doc_id", fld).mapInPandas(
                 tokenize_mapper(fld, True), schema=TF_SCHEMA
             )
             for fld in fields
@@ -278,18 +343,55 @@ def delete_docs_versioned(
         tf_g = tf_parts[0]
         for p in tf_parts[1:]:
             tf_g = tf_g.unionByName(p)
-        tf_g = tf_g.where(
-            (F.pmod(term_bucket_expr(F.col("term"), num_buckets), F.lit(n_groups)) == g)
-        )
-        from typesense_spark.index.build import FieldStats
-
-        frozen = {k: FieldStats(**v) for k, v in meta["stats"].items()}
-        bk = meta["build_kw"]
-        new_tables[f"{POSTINGS_PREFIX}{g}"] = pack_pipeline(
+        if group is not None:
+            tf_g = tf_g.where(
+                F.pmod(term_bucket_expr(F.col("term"), num_buckets), F.lit(n_groups))
+                == group
+            )
+        return pack_pipeline(
             spark, tf_g, t["terms"], frozen, fields,
             num_buckets=num_buckets, block_size=bk["block_size"],
             salt_threshold=bk["salt_threshold"], n_salts=bk["n_salts"],
             store_positions=bk["store_positions"],
         )
+
+    new_tables: dict[str, DataFrame] = {
+        "docs": t["docs"].where(~F.col("doc_id").isin(ids)),
+        "doc_attrs": t["doc_attrs"].where(~F.col("doc_id").isin(ids)),
+    }
+
+    # base postings: rebuild only the groups a victim's terms touch,
+    # from the surviving BASE docs (stream docs live in their own tables)
+    base_survivors = new_tables["docs"]
+    for g in groups:
+        new_tables[f"{POSTINGS_PREFIX}{g}"] = _repack(base_survivors, g)
+
+    # stream appendices (ADVICE r3: inherited stream tables previously
+    # kept deleted docs searchable): a batch containing a victim gets
+    # its docs/doc_attrs filtered and its postings repacked from the
+    # survivors; victim-free batches inherit unchanged (COW granularity)
+    rebuilt_streams = []
+    for name in t:
+        if not name.startswith("docs/stream="):
+            continue
+        sid = name.split("=", 1)[1]
+        sdocs = t[name]
+        if sdocs.where(F.col("doc_id").isin(ids)).limit(1).count() == 0:
+            continue  # no victims in this batch — inherit unchanged
+        surv = sdocs.where(~F.col("doc_id").isin(ids))
+        new_tables[name] = surv
+        if f"doc_attrs/stream={sid}" in t:
+            new_tables[f"doc_attrs/stream={sid}"] = t[
+                f"doc_attrs/stream={sid}"
+            ].where(~F.col("doc_id").isin(ids))
+        if f"postings/stream={sid}" in t:
+            new_tables[f"postings/stream={sid}"] = _repack(surv, None)
+        rebuilt_streams.append(sid)
+
     v = commit(root, new_tables, op=f"delete {len(ids)} docs", meta=meta)
-    return {"version": v, "deleted": len(ids), "rebuilt_groups": groups}
+    return {
+        "version": v,
+        "deleted": len(ids),
+        "rebuilt_groups": groups,
+        "rebuilt_streams": rebuilt_streams,
+    }

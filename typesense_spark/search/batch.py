@@ -1,23 +1,47 @@
-"""Batched multi-query search — N queries in ONE Spark job.
+"""Batched multi-query search — N queries in ONE Spark job, FULL surface.
 
 The reference's throughput story is concurrent single queries against
-an in-memory trie (250 qps on 3 nodes, README.md:172). Spark's per-job
-latency floor makes one-query-at-a-time the wrong shape; the idiomatic
+an in-memory trie (250 qps on 3 nodes, README.md:172), and each of
+those requests runs the complete pipeline: synonym variants
+(src/collection.cpp:768-769), drop-tokens fallback
+(src/index.cpp:1757-1783), per-field weights
+(src/collection.cpp:593-597), and exclusions. Spark's per-job latency
+floor makes one-query-at-a-time the wrong shape; the idiomatic
 equivalent is set-oriented: expand EVERY query's candidates into one
 broadcast map, decode the union of candidate postings ONCE, score all
-(query, doc) pairs in one aggregation, and take per-query top-k with a
-window. Throughput then scales with cluster size instead of being
-bounded by job-scheduling latency (measured in bench.py as
-``batch_qps``).
+(query-variant, doc) pairs in one aggregation, and take per-query
+top-k with a window. Throughput then scales with cluster size instead
+of being bounded by job-scheduling latency (measured in bench.py as
+``batch_qps`` / ``batch_qps_full``).
 
-Semantics per query are identical to ``engine.search`` (same expansion
-spec, same max-per-token scoring, same AND/OR and tie-break rules) —
-asserted against it in tests, and against the DuckDB oracle in the
-gate (``batch_queries``). Scope (documented): drop-tokens fallback,
-synonym windows, override rules, typo deepening, and per-field weights
-are per-query control-flow features — run those requests through
-``engine.search``; batch mode is the raw-throughput surface (callers
-re-run the few queries that need the richer pipeline individually).
+Per-query semantics are identical to ``engine.search`` — asserted
+query-for-query against it in tests, and against the DuckDB oracle in
+the gate (``batch_queries``, ``batch_full``). The per-query control
+flow lifts into set-oriented form:
+
+- each query unrolls to its VECTORS: the organic drop-tokens attempt
+  plan (attempt 0 = all tokens, then the reference's drop schedule)
+  plus synonym-window variants (``synonym_reduction``), every vector
+  scored independently in one aggregation keyed by vector id;
+- the drop-tokens stop rule ("stop once the merged result count
+  reaches the threshold") becomes a window computation: per query, a
+  doc's FIRST attempt is ``min(attempt)``; the cumulative distinct-doc
+  count per attempt is a running sum over attempt order; the cutoff is
+  the first attempt whose cumulative count reaches the threshold, and
+  organic rows with ``attempt > cutoff`` are discarded — exactly the
+  docs the engine's early-`break` never computes;
+- synonym-variant vectors bypass the cutoff (the reference always
+  searches them) and merge by max score, like the engine;
+- ``query_by_weights`` swaps the per-(vector, doc, token) max for the
+  per-(vector, doc, field, token) max weighted by field, same as
+  ``engine._score_tokens``;
+- '-token' exclusions anti-join per (qid, doc) pairs built from one
+  decode of the union of excluded terms.
+
+Remaining per-query-only features (documented): typo deepening
+(``typo_tokens_threshold`` — its stop rule needs filtered counts per
+cost level), curation/overrides, facets, grouping, proximity re-rank,
+and WAND. Those requests run through ``engine.search``.
 """
 
 from __future__ import annotations
@@ -34,36 +58,39 @@ from typesense_spark.search.engine import (
 )
 from typesense_spark.search.expand import expand_tokens_batch
 
+_EMPTY_SCHEMA = "qid string, rank long, doc_id long, score_milli long"
+# organic attempts are numbered 0..n-1; synonym-variant vectors sit
+# above this base so the cutoff window (organic only) never sees them
+_SYN_BASE = 1_000_000
 
-def batch_search(
+
+def _attempt_plan(tokens: list[str], drop_tokens_threshold: int | None) -> list[list[str]]:
+    """The engine's drop-tokens schedule (reference src/index.cpp:1757-1783):
+    attempt 0 is the full vector; for drop count d = 1..n-1, keep
+    tokens[:n-d] while d <= n//2, else tokens[d - n//2:]."""
+    if not drop_tokens_threshold or len(tokens) <= 1:
+        return [tokens]
+    n = len(tokens)
+    return [tokens] + [
+        tokens[: n - d] if d <= n // 2 else tokens[d - n // 2 :]
+        for d in range(1, n)
+    ]
+
+
+def _expand_specs(
     index: Index,
-    queries: list[tuple[str, str]],
-    fields: tuple[str, ...] = ("content",),
-    num_typos: int = 0,
-    prefix_last: bool = True,  # reference default (src/core_api.cpp:299)
-    mode: str = "and",
-    k: int = 10,
-    typo_distance: str = "levenshtein",
-) -> DataFrame:
-    """[(qid, q)] → (qid, rank, doc_id, score_milli), rank ≤ k per qid.
-
-    Expansion is batch-level (r2 VERDICT #7): every unique (token,
-    prefix?) across ALL queries expands in ONE Spark plan
-    (:func:`expand_tokens_batch`) — or, for the exact-match case
-    (num_typos=0, no prefix), one membership probe — so an N-query
-    batch costs O(1) driver round-trips, not O(N)."""
-    token_lists = [(qid, parse_query(q)[0]) for qid, q in queries]
-    specs = sorted(
-        {
-            (tok, prefix_last and i == len(toks) - 1)
-            for _qid, toks in token_lists
-            for i, tok in enumerate(toks)
-        }
-    )
-    if num_typos == 0 and not prefix_last:
-        # exact tokens: only dictionary MEMBERSHIP matters (an absent
-        # token voids its AND queries). Small dict → driver lookups;
-        # large dict → one semi-join probe over the distributed terms.
+    specs: list[tuple[str, bool]],
+    fields: tuple[str, ...],
+    num_typos: int,
+    typo_distance: str,
+) -> dict[tuple[str, bool], list[tuple[str, int]]]:
+    """All unique (token, prefix?) across the batch → candidate map, in
+    ONE Spark plan (or pure driver lookups below the collect threshold)
+    — O(1) driver round-trips for an N-query batch (r2 VERDICT #7)."""
+    prefix_any = any(p for _, p in specs)
+    if num_typos == 0 and not prefix_any:
+        # exact tokens: only dictionary MEMBERSHIP matters. Small dict →
+        # driver lookups; large dict → one semi-join membership probe.
         if _use_spark_expand(index, fields):
             uniq = index.spark.createDataFrame(
                 [(t,) for t, _ in specs], schema="term string"
@@ -78,62 +105,200 @@ def batch_search(
         else:
             term_df = _get_term_df(index, fields)
             present = {t for t, _ in specs if t in term_df}
-        cand_map = {
+        return {
             spec: ([(spec[0], 0)] if spec[0] in present else []) for spec in specs
         }
-    elif not _use_spark_expand(index, fields):
+    if not _use_spark_expand(index, fields):
         # small dictionary: the collected {term: df} dict expands every
         # unique spec driver-side in microseconds — the Spark-join batch
         # plan below exists for dictionaries too large to collect
-        # (same auto-routing threshold as engine.search)
         from typesense_spark.search.expand import expand_token
 
         term_df = _get_term_df(index, fields)
-        cand_map = {
+        return {
             (tok, pref): expand_token(
                 tok, term_df, num_typos, prefix=pref, distance=typo_distance
             )
             for tok, pref in specs
         }
-    else:
-        cand_map = expand_tokens_batch(
-            _terms_agg(index, fields), specs, num_typos, typo_distance
-        )
-    rows: list[tuple[str, int, str, int]] = []
-    for qid, tokens in token_lists:
+    return expand_tokens_batch(
+        _terms_agg(index, fields), specs, num_typos, typo_distance
+    )
+
+
+def batch_search(
+    index: Index,
+    queries: list[tuple[str, str]],
+    fields: tuple[str, ...] = ("content",),
+    num_typos: int = 0,
+    prefix_last: bool = True,  # reference default (src/core_api.cpp:299)
+    mode: str = "and",
+    k: int = 10,
+    typo_distance: str = "levenshtein",
+    query_by_weights: tuple[int, ...] = (),
+    synonyms: dict | None = None,
+    synonym_store: object | None = None,
+    drop_tokens_threshold: int | None = None,
+) -> DataFrame:
+    """[(qid, q)] → (qid, rank, doc_id, score_milli), rank ≤ k per qid.
+
+    Full engine surface per query (see module docstring): drop-tokens
+    fallback (``drop_tokens_threshold``; None/0 disables, like the
+    legacy batch path), synonym windows (``synonym_store``) and
+    single-token alternates (``synonyms``), per-field weights
+    (``query_by_weights``, parallel to ``fields``), and '-token'
+    exclusions parsed from each query string."""
+    if query_by_weights and len(query_by_weights) != len(fields):
+        raise ValueError("query_by_weights must be parallel to fields")
+    spark = index.spark
+
+    # ---- unroll queries to scoring vectors --------------------------------
+    # vector = (vec_id, qid, attempt_idx, tokens); organic attempts carry
+    # their plan index, synonym variants an index above _SYN_BASE
+    vectors: list[tuple[int, str, int, list[str]]] = []
+    excl_rows: list[tuple[str, str]] = []  # (qid, excluded term)
+    vid = 0
+    for qid, q in queries:
+        tokens, excludes = parse_query(q)
+        for t in excludes:
+            excl_rows.append((qid, t))
+        if not tokens:
+            continue
+        for aidx, attempt in enumerate(_attempt_plan(tokens, drop_tokens_threshold)):
+            vectors.append((vid, qid, aidx, attempt))
+            vid += 1
+        if synonym_store is not None:
+            from typesense_spark.search.synonyms import synonym_reduction
+
+            for si, vtoks in enumerate(synonym_reduction(tokens, synonym_store)):
+                vectors.append((vid, qid, _SYN_BASE + si, vtoks))
+                vid += 1
+
+    specs = sorted(
+        {
+            (tok, prefix_last and i == len(toks) - 1)
+            for _v, _q, _a, toks in vectors
+            for i, tok in enumerate(toks)
+        }
+        | {(a, False) for alts in (synonyms or {}).values() for a in alts}
+    )
+    if not specs:
+        return spark.createDataFrame([], schema=_EMPTY_SCHEMA)
+    cand_map = _expand_specs(index, specs, fields, num_typos, typo_distance)
+    if synonyms:
+        # single-token alternates join the token's candidate set at cost
+        # 0 (engine.search does the same per attempt); alternates absent
+        # from the dictionary were filtered by their own (alt, False)
+        # expansion above, so parity with the engine's driver path holds
+        # on the Spark-expand path too
+        for (tok, pref), cands in list(cand_map.items()):
+            alts = synonyms.get(tok)
+            if not alts:
+                continue
+            extra = [(a, 0) for a in alts if cand_map.get((a, False))]
+            cand_map[(tok, pref)] = sorted(dict(cands + extra).items())
+
+    # ---- candidate rows: one row per (vector, token-slot, candidate) ------
+    rows: list[tuple[int, str, int, int, str, int]] = []
+    for v, qid, aidx, toks in vectors:
         cands = [
-            cand_map[(tok, prefix_last and i == len(tokens) - 1)]
-            for i, tok in enumerate(tokens)
+            cand_map[(tok, prefix_last and i == len(toks) - 1)]
+            for i, tok in enumerate(toks)
         ]
         if mode == "and" and any(not c for c in cands):
-            continue  # unsatisfiable AND query → no rows
+            continue  # unsatisfiable AND vector → contributes nothing
         for i, cand in enumerate(cands):
             for t, _c in cand:
-                rows.append((qid, i, t, len(tokens)))
-    spark = index.spark
+                rows.append((v, qid, aidx, i, t, len(toks)))
     if not rows:
-        return spark.createDataFrame(
-            [], schema="qid string, rank long, doc_id long, score_milli long"
-        )
+        return spark.createDataFrame([], schema=_EMPTY_SCHEMA)
     cmap = spark.createDataFrame(
-        rows, schema="qid string, qidx int, term string, n_tokens int"
+        rows, schema="vec_id int, qid string, aidx int, qidx int, term string, n_tokens int"
     )
-    decoded = index.decoded(sorted({r[2] for r in rows}), list(fields))
-    per_tok = (
-        decoded.join(F.broadcast(cmap), "term")
-        .groupBy("qid", "n_tokens", "doc_id", "qidx")
-        .agg(F.max("contrib").alias("tok_score"))
-    )
-    scored = per_tok.groupBy("qid", "n_tokens", "doc_id").agg(
-        F.sum("tok_score").alias("score_milli"), F.count("*").alias("nmatch")
-    )
+    decoded = index.decoded(sorted({r[4] for r in rows}), list(fields))
+    joined = decoded.join(F.broadcast(cmap), "term")
+
+    # ---- per-vector scoring (engine._score_tokens, keyed by vec_id) -------
+    if query_by_weights:
+        wmap = F.create_map(
+            *[
+                x
+                for f, w in zip(fields, query_by_weights)
+                for x in (F.lit(f), F.lit(int(w)))
+            ]
+        )
+        per_ft = joined.groupBy(
+            "vec_id", "qid", "aidx", "n_tokens", "doc_id", "field", "qidx"
+        ).agg(F.max("contrib").alias("best"))
+        scored = (
+            per_ft.withColumn("ws", F.element_at(wmap, F.col("field")) * F.col("best"))
+            .groupBy("vec_id", "qid", "aidx", "n_tokens", "doc_id")
+            .agg(
+                F.sum("ws").alias("score_milli"),
+                F.countDistinct("qidx").alias("nmatch"),
+            )
+        )
+    else:
+        per_tok = joined.groupBy(
+            "vec_id", "qid", "aidx", "n_tokens", "doc_id", "qidx"
+        ).agg(F.max("contrib").alias("tok_score"))
+        scored = per_tok.groupBy("vec_id", "qid", "aidx", "n_tokens", "doc_id").agg(
+            F.sum("tok_score").alias("score_milli"), F.count("*").alias("nmatch")
+        )
     if mode == "and":
         scored = scored.where(F.col("nmatch") == F.col("n_tokens"))
+    scored = scored.select("qid", "aidx", "doc_id", "score_milli")
+
+    # ---- drop-tokens cutoff (organic vectors only) -------------------------
+    multi_attempt = any(
+        aidx > 0 and aidx < _SYN_BASE for _v, _q, aidx, _t in vectors
+    )
+    if multi_attempt:
+        organic = scored.where(F.col("aidx") < _SYN_BASE)
+        syn = scored.where(F.col("aidx") >= _SYN_BASE)
+        first = organic.groupBy("qid", "doc_id").agg(F.min("aidx").alias("fa"))
+        wcum = (
+            Window.partitionBy("qid")
+            .orderBy("fa")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cut = (
+            first.groupBy("qid", "fa")
+            .agg(F.count("*").alias("n_new"))
+            .withColumn("cum", F.sum("n_new").over(wcum))
+            .where(F.col("cum") >= F.lit(int(drop_tokens_threshold)))
+            .groupBy("qid")
+            .agg(F.min("fa").alias("cutoff"))
+        )
+        organic = organic.join(F.broadcast(cut), "qid", "left").where(
+            F.col("aidx") <= F.coalesce(F.col("cutoff"), F.lit(_SYN_BASE))
+        )
+        scored = organic.select("qid", "doc_id", "score_milli").unionByName(
+            syn.select("qid", "doc_id", "score_milli")
+        )
+    merged = scored.groupBy("qid", "doc_id").agg(
+        F.max("score_milli").alias("score_milli")
+    )
+
+    # ---- exclusions: per-(qid, doc) anti-join ------------------------------
+    if excl_rows:
+        emap = spark.createDataFrame(
+            sorted(set(excl_rows)), schema="qid string, term string"
+        )
+        ex_docs = (
+            index.decoded(sorted({t for _, t in excl_rows}), list(fields))
+            .join(F.broadcast(emap), "term")
+            .select("qid", "doc_id")
+            .distinct()
+        )
+        merged = merged.join(ex_docs, ["qid", "doc_id"], "left_anti")
+
+    # ---- per-query top-k ----------------------------------------------------
     w = Window.partitionBy("qid").orderBy(
         F.col("score_milli").desc(), F.col("doc_id").desc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        merged.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select("qid", "rank", "doc_id", "score_milli")
     )

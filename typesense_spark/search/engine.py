@@ -189,15 +189,27 @@ class SearchResult:
 # hits/facets actions reuse the materialized scores instead of
 # re-running the scan→decode→score pipeline. Handles are released
 # LRU-style so long sessions don't accumulate executor storage.
+# Keyed by SparkSession (ADVICE r3): handles from a stopped session are
+# dropped without a JVM call, so a session restart (test suites,
+# long-lived processes) can't make an eviction raise in a later search.
 _SCORE_CACHE_KEEP = 8
-_score_cache: list[DataFrame] = []
+_score_cache: dict[int, list[DataFrame]] = {}
 
 
 def _persist_scored(df: DataFrame) -> DataFrame:
     df = df.persist()
-    _score_cache.append(df)
-    while len(_score_cache) > _SCORE_CACHE_KEEP:
-        _score_cache.pop(0).unpersist()
+    key = id(df.sparkSession)
+    stale = [k for k in _score_cache if k != key]
+    for k in stale:
+        _score_cache.pop(k)  # stopped/replaced session: drop handles only
+    cache = _score_cache.setdefault(key, [])
+    cache.append(df)
+    while len(cache) > _SCORE_CACHE_KEEP:
+        old = cache.pop(0)
+        try:
+            old.unpersist()
+        except Exception:
+            pass  # session died under the handle — nothing to release
     return df
 
 

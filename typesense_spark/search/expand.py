@@ -194,9 +194,20 @@ def expand_terms_spark(
         cand = pre.select(
             "term", rank_col, F.levenshtein(F.col("term"), F.lit(token)).alias("cost")
         ).where(F.col("cost") <= max_cost)
-    w = Window.partitionBy("cost").orderBy(rk.desc(), F.col("term"))
+    # two-phase per-cost top-3 (r3 VERDICT #5, same shape as the batch
+    # path's prefix cap): the local phase bounds each (cost, physical
+    # partition) to MAX_CANDIDATES rows, so the final per-cost window —
+    # which necessarily funnels into ≤ max_cost+1 partitions — only ever
+    # sees ≤ 3·n_partitions pre-capped rows, never the full ≤max_cost
+    # survivor set of a 5e9-term dictionary
+    w1 = Window.partitionBy("cost", F.spark_partition_id()).orderBy(
+        rk.desc(), F.col("term")
+    )
+    w2 = Window.partitionBy("cost").orderBy(rk.desc(), F.col("term"))
     typo = (
-        cand.withColumn("rn", F.row_number().over(w))
+        cand.withColumn("rn1", F.row_number().over(w1))
+        .where((F.col("cost") == 0) | (F.col("rn1") <= MAX_CANDIDATES))
+        .withColumn("rn", F.row_number().over(w2))
         .where((F.col("cost") == 0) | (F.col("rn") <= MAX_CANDIDATES))
         .select("term", "cost")
     )
