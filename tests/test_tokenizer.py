@@ -22,6 +22,16 @@ VECTORS = [
     # unicode transliteration (iconv ASCII//TRANSLIT analogue)
     ("Löwenbräu", [("lowenbrau", 0)]),
     ("café au lait", [("cafe", 0), ("au", 1), ("lait", 2)]),
+    # NON-TRANSLITERABLE PASSTHROUGH (reference keeps the original
+    # bytes on EILSEQ, src/tokenizer.cpp:79-81): CJK/Cyrillic tokens
+    # stay searchable verbatim, case preserved; unicode punctuation is
+    # dropped like its ASCII transliteration would be
+    ("Привет, мир!", [("Привет", 0), ("мир", 1)]),
+    ("你好 世界。", [("你好", 0), ("世界", 1)]),
+    ("Тест42 ёлка", [("Тест42", 0), ("ёлка", 1)]),
+    ("Ｋｅｙｂｏａｒｄ ｖａｌｕｅ１", [("keyboard", 0), ("value1", 1)]),
+    ("naïve — résumé…", [("naive", 0), ("resume", 2)]),
+    ("snow☃man 🎉", [("snowman", 0)]),
 ]
 
 
@@ -35,6 +45,20 @@ def test_pandas_matches_python():
     out = tokenize_pandas(s)
     for (raw, expected), got in zip(VECTORS, out):
         assert got == expected, raw
+
+
+def test_spark_matches_python_unicode(spark):
+    """JVM explode_tokens implements the FULL pinned spec (fold table +
+    unicode strip), not just the ASCII subset — all three
+    implementations agree on every vector including passthrough."""
+    vectors = [(i, raw) for i, (raw, _) in enumerate(VECTORS) if raw]
+    df = spark.createDataFrame(vectors, schema="doc_id long, content string")
+    got = {}
+    for r in explode_tokens(df, "content").collect():
+        got.setdefault(r["doc_id"], []).append((r["term"], r["pos"]))
+    for i, raw in vectors:
+        want = tokenize(raw)
+        assert sorted(got.get(i, []), key=lambda x: x[1]) == want, raw
 
 
 def test_spark_matches_python_ascii(spark):

@@ -722,6 +722,53 @@ def q_fingerprint(spark, sf_dir):
     )
 
 
+# non-Latin planted suffix (r3 VERDICT missing #2): Cyrillic + CJK pass
+# through VERBATIM (reference keeps unmappable bytes,
+# src/tokenizer.cpp:79-81), accented Latin folds, unicode punctuation
+# drops — all through the REAL index build + postings codec
+_UNI_SUFFIX = " Приветzq, 世界qz Müllerzq — ёлка42"
+_UNI_TERMS = ["merge", "mullerzq", "Приветzq", "ёлка42", "世界qz"]
+
+
+def q_unicode_tokens(spark, sf_dir):
+    """B4 unicode branch end-to-end: docs with planted multi-script
+    suffixes go through build_index (pandas tokenize path — corpus is
+    non-ASCII), and the decoded postings must carry the passthrough
+    terms verbatim alongside the base corpus' ASCII terms."""
+    from typesense_spark.index import build_index
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.concat(F.col("text"), F.lit(_UNI_SUFFIX)).alias("utext")
+    )
+    ix = build_index(
+        spark, d, fields=["utext"], id_col="doc_id", num_buckets=8, block_size=64
+    )
+    return (
+        ix.decoded(_UNI_TERMS, ["utext"])
+        .select("term", "doc_id", "tf")
+        .orderBy("term", "doc_id")
+    )
+
+
+def unicode_tokens_oracle() -> str:
+    """DuckDB side: the SAME pinned tokenizer as a translate-table +
+    RE2 expression (tokenizer.duckdb_tokenize_expr) over the same
+    planted text — an independent recomputation, not a constant list."""
+    from typesense_spark.tokenizer import duckdb_tokenize_expr
+
+    expr = duckdb_tokenize_expr("l[i + 1]")
+    terms_in = ", ".join(f"'{t}'" for t in _UNI_TERMS)
+    sfx = _UNI_SUFFIX.replace("'", "''")
+    return (
+        "WITH udocs AS (SELECT doc_id, text || '" + sfx + "' AS utext FROM documents), "
+        "rawtok AS (SELECT doc_id, " + expr + " AS term "
+        "FROM (SELECT doc_id, string_split_regex(utext, '[ \\n]') AS l FROM udocs) "
+        "CROSS JOIN range(0, 8192) AS r(i) WHERE i < len(l)) "
+        "SELECT term, doc_id, count(*) AS tf FROM rawtok "
+        f"WHERE term IN ({terms_in}) GROUP BY 1, 2 ORDER BY term, doc_id"
+    )
+
+
 def q_events_window(spark, sf_dir):
     """Tumbling-window aggregation over the events stream table
     (Structured-Streaming-shaped, run in batch; values cent-quantized)."""
@@ -965,6 +1012,7 @@ QUERIES = {
     "events_json": q_events_json,
     "batch_queries": q_batch_queries,
     "batch_full": q_batch_full,
+    "unicode_tokens": q_unicode_tokens,
 }
 
 
@@ -1395,6 +1443,7 @@ def build_oracles() -> dict[str, str]:
         "FROM scored) WHERE rn <= 10 ORDER BY qid, rank"
     )
     o["batch_full"] = batch_full_oracle()
+    o["unicode_tokens"] = unicode_tokens_oracle()
     o["events_window"] = (
         # floor() before the cast: DuckDB's epoch() keeps fractional
         # seconds and CAST(double AS BIGINT) rounds, shifting boundary rows

@@ -7,9 +7,21 @@ Reference parity (``/root/reference/src/tokenizer.cpp:4-112``):
 - within a raw token, keep only ASCII alphanumerics, lowercased —
   punctuation is stripped *in place*, not a split point: ``"(free)"`` →
   ``free``, ``"c++"`` → ``c`` (``src/tokenizer.cpp:43-47``);
-- non-ASCII input is transliterated to ASCII (the reference uses iconv
-  ``ASCII//TRANSLIT``, ``include/tokenizer.h:23``); we pin NFKD-fold +
-  drop combining marks, which agrees with iconv on Latin accents;
+- non-ASCII characters are transliterated to ASCII per CHARACTER (the
+  reference uses iconv ``ASCII//TRANSLIT``, ``include/tokenizer.h:23``);
+  when a character CANNOT be represented in ASCII the reference keeps
+  the ORIGINAL bytes (``src/tokenizer.cpp:79-81``) — so CJK / Cyrillic /
+  Greek tokens stay searchable verbatim. Pinned spec per non-ASCII char:
+  NFKD-decompose; if the decomposition contains ASCII, keep its ASCII
+  alphanumerics lowercased (é→e, Ｋ→k, ½→12); otherwise keep the
+  character UNCHANGED if it is a unicode letter/number/mark (世, П, ё —
+  original case preserved, exactly the kept-bytes branch), and drop it
+  if it is punctuation/symbol/separator (— « ☃ — iconv transliterates
+  those to ASCII punctuation, which the alnum filter then drops).
+  Documented deviations from glibc's table: single chars WITHOUT an
+  NFKD decomposition (æ ø ß đ) pass through as letters rather than
+  transliterating to digraphs — consistent across all three
+  implementations and both oracles;
 - token *positions* are a running counter over raw tokens; with
   ``keep_empty`` (the indexing path, ``src/index.cpp:530-545``) empty
   tokens consume positions but are not emitted.
@@ -17,22 +29,29 @@ Reference parity (``/root/reference/src/tokenizer.cpp:4-112``):
 Implementations (proven identical by ``tests/test_tokenizer.py``):
 
 1. :func:`tokenize` — pure Python, shared by the oracle and the engine
-   driver (query parsing).
-2. :func:`spark_terms_expr` / :func:`explode_tokens` — pure Spark SQL
-   expressions (JVM whole-stage codegen; the index-build hot path; valid
-   when the corpus is ASCII, which ``is_ascii_probe`` checks).
-3. :func:`tokenize_pandas` — vectorized pandas path for non-ASCII
-   corpora (Arrow-batched; no per-row Python in the Spark plan).
+   driver (query parsing), and by the index build's Arrow-batched
+   ``tokenize_mapper`` (so the INDEX always uses the full pinned spec).
+2. :func:`explode_tokens` — pure Spark SQL expressions (JVM whole-stage
+   codegen; the ops hot path). Folding uses a 1:1 char translate table
+   generated from the SAME ``_fold_char`` (see :func:`fold_table`);
+   multi-char decompositions (ﬁ → fi) are the one pinned divergence —
+   they pass through on this path (rare enough that the ops gates stay
+   exact on every tested corpus; corpora heavy in such forms should
+   route through the pandas path).
+3. :func:`tokenize_pandas` — vectorized pandas path (Arrow-batched; no
+   per-row Python in the Spark plan), delegating to :func:`tokenize`.
 
 DuckDB-oracle equivalent (same spec, used by ``__spark_entry__``):
-``regexp_replace(lower(tok), '[^a-z0-9]', '', 'g')`` over
-``string_split_regex(text, '[ \\n]')``.
+:func:`duckdb_tokenize_expr` — the same translate table + RE2 class
+``[^a-z0-9\\p{L}\\p{N}\\p{M}]``; the legacy pure-ASCII form remains
+:data:`DUCKDB_TOKENIZE_SQL` (identical on ASCII corpora).
 """
 
 from __future__ import annotations
 
 import re
 import unicodedata
+from functools import lru_cache
 
 import pandas as pd
 
@@ -47,12 +66,27 @@ _STRIP_RE = re.compile(r"[^a-z0-9]")
 _FULL_STRIP_RE = re.compile(r"[^a-z0-9 \n]")
 
 
+@lru_cache(maxsize=65536)
+def _fold_char(ch: str) -> str:
+    """One non-ASCII char → its pinned ASCII projection, or itself.
+
+    NFKD with ASCII content → that content's alnum, lowered (the iconv
+    TRANSLIT analogue). No ASCII content → the reference's EILSEQ
+    branch: keep the ORIGINAL char when it carries meaning (letter /
+    number / combining mark), drop separators/punctuation/symbols
+    (iconv maps those to ASCII punctuation, which is then stripped)."""
+    folded = unicodedata.normalize("NFKD", ch)
+    if any(c.isascii() for c in folded):
+        return "".join(c.lower() for c in folded if c.isascii() and c.isalnum())
+    return ch if unicodedata.category(ch)[0] in ("L", "N", "M") else ""
+
+
 def _fold_ascii(raw: str) -> str:
-    """NFKD-fold to ASCII (approximates iconv ASCII//TRANSLIT)."""
-    if raw.isascii():
-        return raw
-    folded = unicodedata.normalize("NFKD", raw)
-    return "".join(ch for ch in folded if ch.isascii())
+    """Non-ASCII raw token → pinned term content (see module spec)."""
+    return "".join(
+        (ch.lower() if ch.isalnum() else "") if ch.isascii() else _fold_char(ch)
+        for ch in raw
+    )
 
 
 def tokenize(text: str, fold_unicode: bool = True) -> list[tuple[str, int]]:
@@ -66,9 +100,10 @@ def tokenize(text: str, fold_unicode: bool = True) -> list[tuple[str, int]]:
         ]
     out: list[tuple[str, int]] = []
     for pos, raw in enumerate(_SPLIT_RE.split(text)):
-        if fold_unicode and not raw.isascii():
-            raw = _fold_ascii(raw)
-        term = _STRIP_RE.sub("", raw.lower())
+        if raw.isascii() or not fold_unicode:
+            term = _STRIP_RE.sub("", raw.lower())
+        else:
+            term = _fold_ascii(raw)
         if term:
             out.append((term, pos))
     return out
@@ -94,16 +129,58 @@ def tokenize_pandas(texts: pd.Series) -> pd.Series:
 # split pattern keeps empty tokens so array index == reference position
 SPLIT_PATTERN = "[ \\n]"
 STRIP_PATTERN = "[^a-z0-9]"
+# post-translate strip: ASCII non-alnum goes; non-ASCII letters/numbers/
+# marks stay (the passthrough branch); non-ASCII punctuation/symbols/
+# separators go. Valid Java regex AND RE2 (DuckDB) — shared verbatim.
+UNICODE_STRIP_PATTERN = "[^a-z0-9\\p{L}\\p{N}\\p{M}]"
+
+# BMP ranges scanned for 1:1 fold entries: Latin-1..CJK-punct covers
+# every accented-Latin/Greek/Cyrillic block; FE30-FFEF covers the
+# full/half-width forms common in CJK text
+_FOLD_SCAN_RANGES = ((0x41, 0x5B), (0xA0, 0x3000), (0xFE30, 0xFFF0))
+
+
+@lru_cache(maxsize=1)
+def fold_table() -> tuple[str, str]:
+    """(matching, replace) for a 1:1 char translate shared by the JVM
+    path and the DuckDB oracle: ASCII A-Z→a-z plus every scanned char
+    whose :func:`_fold_char` projection is a single ASCII char (é→e,
+    Ａ→a); chars folding to NOTHING (ASCII-decomposable but non-alnum)
+    sit at the tail of ``matching`` with no ``replace`` counterpart —
+    translate() deletes them in both engines."""
+    src_keep, dst = [], []
+    src_del = []
+    for lo, hi in _FOLD_SCAN_RANGES:
+        for cp in range(lo, hi):
+            ch = chr(cp)
+            if ch.isascii():
+                if "A" <= ch <= "Z":
+                    src_keep.append(ch)
+                    dst.append(ch.lower())
+                continue
+            f = _fold_char(ch)
+            if len(f) == 1 and f.isascii():
+                src_keep.append(ch)
+                dst.append(f)
+            elif f == "":
+                # folds away entirely — let translate delete it so the
+                # strip regex never has to enumerate these
+                src_del.append(ch)
+    return "".join(src_keep) + "".join(src_del), "".join(dst)
 
 
 def explode_tokens(df, content_col: str, doc_id_col: str = "doc_id", extra_cols=()):
     """JVM-side tokenize: df → (doc_id, [extra], pos, term), term != ''.
 
-    Fully whole-stage-codegen'd: split → posexplode → lower →
-    regexp_replace → filter. No Python in the plan.
+    Fully whole-stage-codegen'd: split → posexplode → translate (the
+    shared fold table: lowercase + accent folds + fold-away deletions)
+    → unicode-aware strip → filter. No Python in the plan. Non-ASCII
+    letters outside the fold table pass through VERBATIM (original
+    case), matching the pinned Python tokenizer.
     """
     from pyspark.sql import functions as F
 
+    matching, replace = fold_table()
     cols = [doc_id_col, *extra_cols]
     toks = df.select(
         *cols,
@@ -112,7 +189,11 @@ def explode_tokens(df, content_col: str, doc_id_col: str = "doc_id", extra_cols=
     return toks.select(
         *cols,
         "pos",
-        F.regexp_replace(F.lower(F.col("raw")), STRIP_PATTERN, "").alias("term"),
+        F.regexp_replace(
+            F.translate(F.col("raw"), matching, replace),
+            UNICODE_STRIP_PATTERN,
+            "",
+        ).alias("term"),
     ).where(F.col("term") != "")
 
 
@@ -124,5 +205,20 @@ DUCKDB_TOKENIZE_SQL = (
 
 
 def duckdb_tokenize_sql(table: str, content: str, cols: str) -> str:
-    """The same tokenizer as ANSI-ish SQL DuckDB runs for the oracle."""
+    """The same tokenizer as ANSI-ish SQL DuckDB runs for the oracle
+    (legacy pure-ASCII form — identical to the pinned spec on ASCII
+    corpora, which every driver-generated testdata table is)."""
     return DUCKDB_TOKENIZE_SQL.format(table=table, content=content, cols=cols)
+
+
+def duckdb_tokenize_expr(tok_expr: str) -> str:
+    """DuckDB expression: raw token SQL expr → pinned term, including
+    the unicode fold/passthrough branches — translate() with the SAME
+    fold table as the JVM path, then the shared RE2 strip class."""
+    matching, replace = fold_table()
+    m = matching.replace("'", "''")
+    r = replace.replace("'", "''")
+    return (
+        f"regexp_replace(translate({tok_expr}, '{m}', '{r}'), "
+        f"'{UNICODE_STRIP_PATTERN}', '', 'g')"
+    )
