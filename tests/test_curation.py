@@ -168,3 +168,76 @@ def test_cross_rule_drop_retracts_add():
     )
     pinned, hidden = store.resolve("q")
     assert pinned == {} and hidden == (9,)
+
+
+def test_grouped_curated_groups_reference_case(spark):
+    """PinnedHitsGrouping port (test/collection_override_test.cpp:471-521):
+    pinned '6:1,8:1,1:2,13:3,4:3' with group_by + group_limit 2 →
+    curated ids form synthetic groups at positions 1/2/3 (claim order,
+    up to group_limit per position); organic groups exclude curated
+    docs and follow; ungrouped search keeps the first-claimant rule."""
+    from typesense_spark.index import build_index
+    from typesense_spark.search import SearchRequest, search
+
+    # 18 docs matching 'the', two docs per group key (like cast pairs)
+    rows = [
+        (i, f"the common token filler{i}", f"g{i // 2}") for i in range(18)
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, content string, cast string")
+    ix = build_index(spark, df, fields=["content"], id_col="doc_id", num_buckets=4)
+    pinned = {6: 1, 8: 1, 1: 2, 13: 3, 4: 3}
+
+    res = search(
+        ix,
+        SearchRequest(q="the", fields=("content",), num_typos=0, per_page=10,
+                      pinned=pinned, group_by=("cast",), group_limit=2),
+    )
+    got = [
+        (r["group_pos"], r["group_rank"], r["doc_id"], r["curated"])
+        for r in res.grouped_hits.orderBy("group_pos", "group_rank").collect()
+    ]
+    by_group: dict[int, list[int]] = {}
+    curated_flags: dict[int, bool] = {}
+    for gp, gr, d, cur in got:
+        by_group.setdefault(gp, []).append(d)
+        curated_flags[gp] = cur
+    # synthetic curated groups at positions 1..3, claim order respected
+    assert by_group[1] == [6, 8] and curated_flags[1]
+    assert by_group[2] == [1] and curated_flags[2]
+    assert by_group[3] == [13, 4] and curated_flags[3]
+    # organic groups follow, contain NO curated doc, ≤ group_limit each
+    organic_docs = [d for gp in sorted(by_group) if gp > 3 for d in by_group[gp]]
+    assert organic_docs and not set(organic_docs) & set(pinned)
+    for gp in sorted(by_group):
+        assert len(by_group[gp]) <= 2
+        assert not (gp > 3 and curated_flags[gp])
+    # organic members grouped by their real key (two per g-pair unless
+    # a member was curated away)
+    key_of = {i: f"g{i // 2}" for i in range(18)}
+    for gp in sorted(by_group):
+        if gp <= 3:
+            continue
+        keys = {key_of[d] for d in by_group[gp]}
+        assert len(keys) == 1, (gp, by_group[gp])
+
+    # ungrouped: first claimant per position only (6, not 8; 13, not 4)
+    res_u = search(
+        ix,
+        SearchRequest(q="the", fields=("content",), num_typos=0, per_page=4,
+                      pinned=pinned),
+    )
+    top = [r["doc_id"] for r in res_u.hits.orderBy("rank").collect()]
+    assert top[0] == 6 and top[1] == 1 and top[2] == 13
+    assert 8 not in top[:3] and 4 not in top[:3]
+
+
+def test_grouped_override_store_keeps_group_limit_claimants():
+    """resolve(ids_per_pos=2): up to group_limit claimants per position
+    survive in claim order; the third claimant is dropped."""
+    store = OverrideStore(
+        [OverrideRule("r", "q", "exact", add_hits=((6, 1), (8, 1), (9, 1), (1, 2)))]
+    )
+    pinned, _ = store.resolve("q", ids_per_pos=2)
+    assert pinned == {6: 1, 8: 1, 1: 2}
+    pinned_u, _ = store.resolve("q")  # ungrouped default: first only
+    assert pinned_u == {6: 1, 1: 2}

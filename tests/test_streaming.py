@@ -196,3 +196,75 @@ def test_snapshotted_stream_commits_atomic_versions(spark, corpus_df, built_inde
     assert streamed & ids_head, "no streamed doc matched at HEAD"
     assert not (streamed & ids_v1), "time-travel version leaked streamed docs"
     assert ids_head - streamed == ids_v1  # base hits unchanged (frozen stats)
+
+
+def test_compaction_trigger_and_score_equality(spark, built_index, tmp_path):
+    """r3 VERDICT #8: staleness is MEASURED (appended-docs fraction from
+    manifest row counts, no Spark job); crossing the threshold triggers
+    a compaction rebuild with FRESH stats whose scores equal a
+    from-scratch build over the combined corpus EXACTLY; stream tables
+    retire from HEAD while older versions keep them (time travel)."""
+    from typesense_spark.corpus import CORPUS_SCHEMA, generate_rows
+    from typesense_spark.index import build_index, snapshots
+    from typesense_spark.search import SearchRequest, search
+    from typesense_spark.streaming import (
+        compact_snapshots,
+        snapshot_staleness,
+        snapshotted_index_stream,
+    )
+
+    root = str(tmp_path / "cmp_root")
+    bkw = dict(block_size=32, salt_threshold=100, n_salts=4)
+    snapshots.commit_index(root, built_index, n_groups=2, build_kw=bkw)
+    assert snapshot_staleness(root)["appended_fraction"] == 0.0
+    # below threshold → measured no-op
+    out = compact_snapshots(spark, root, threshold=0.01)
+    assert out["compacted"] is False
+
+    base_max = built_index.docs.agg(F.max("doc_id")).collect()[0][0]
+    n_new = 60  # 20% of the 300-doc base — crosses the 0.1 threshold
+    df = spark.createDataFrame(
+        generate_rows(n_new, seed=5, start=9000), schema=CORPUS_SCHEMA
+    )
+    df = df.withColumn(
+        "doc_id",
+        (F.lit(base_max + 1) + F.row_number().over(Window.orderBy("path")) - 1).cast("long"),
+    )
+    src = str(tmp_path / "cmp_src")
+    df.write.mode("overwrite").parquet(src)
+    q = snapshotted_index_stream(
+        root, spark.readStream.schema(df.schema).parquet(src),
+        "content", str(tmp_path / "cmp_ckpt"), block_size=32,
+    )
+    q.awaitTermination(120)
+
+    s = snapshot_staleness(root)
+    assert s["streamed_docs"] == n_new
+    assert s["appended_fraction"] >= 0.1
+    v_stream = snapshots.head_version(root)
+    out = compact_snapshots(spark, root, threshold=0.1)
+    assert out["compacted"] is True and out["new_version"] > v_stream
+
+    # post-compaction HEAD: no stream tables, fraction back to 0
+    m = snapshots.read_manifest(root)
+    assert not any(n.startswith("docs/stream=") for n in m["tables"])
+    assert snapshot_staleness(root)["appended_fraction"] == 0.0
+    # older version still reads stream tables (time travel intact)
+    assert any(
+        n.startswith("docs/stream=")
+        for n in snapshots.read_manifest(root, v_stream)["tables"]
+    )
+
+    # EXACT score equality with a from-scratch build over base+streamed
+    fresh = build_index(
+        spark,
+        built_index.docs.select("doc_id", "content").unionByName(
+            df.select("doc_id", "content")
+        ),
+        fields=["content"], id_col="doc_id", num_buckets=built_index.num_buckets,
+        **bkw,
+    )
+    req = SearchRequest(q="import return", fields=("content",), num_typos=0, per_page=25)
+    got = [tuple(r) for r in search(snapshots.load_index(spark, root), req).hits.collect()]
+    want = [tuple(r) for r in search(fresh, req).hits.collect()]
+    assert got == want and got

@@ -104,6 +104,7 @@ def commit(
     tables: dict[str, DataFrame],
     op: str,
     meta: dict | None = None,
+    drop_prefixes: tuple[str, ...] = (),
 ) -> int:
     """Write ``tables`` as a new snapshot; unchanged tables inherit the
     parent's data directories. Returns the new version number.
@@ -134,7 +135,15 @@ def commit(
 
     os.makedirs(os.path.join(root, SNAP_DIR), exist_ok=True)
     _clean_orphans(root, version)
-    entries: dict[str, dict] = dict(parent_tables)  # inherit, then overwrite
+    # inherit, then overwrite; drop_prefixes retires whole logical
+    # tables from the new version (e.g. compaction folds stream
+    # appendices into a fresh base and drops the per-batch tables —
+    # their data dirs stay on disk for older versions' time travel)
+    entries: dict[str, dict] = {
+        n: e
+        for n, e in parent_tables.items()
+        if not any(n.startswith(p) for p in drop_prefixes)
+    }
     for name, df in tables.items():
         rel = os.path.join(DATA_DIR, name.replace("/", "__"), f"v{version:06d}")
         obs = Observation()
@@ -195,6 +204,7 @@ def commit_index(
     op: str = "full_build",
     n_groups: int = 4,
     build_kw: dict | None = None,
+    drop_prefixes: tuple[str, ...] = (),
 ) -> int:
     """Snapshot a built Index: docs/terms/doc_attrs plus postings split
     into ``n_groups`` group tables (term_bucket % n_groups) so later
@@ -229,7 +239,7 @@ def commit_index(
         },
         "stats": {k: {"n_docs": v.n_docs, "sum_dl": v.sum_dl} for k, v in ix.stats.items()},
     }
-    return commit(root, tables, op, meta)
+    return commit(root, tables, op, meta, drop_prefixes=drop_prefixes)
 
 
 def load_index(spark: SparkSession, root: str, version: int | None = None):

@@ -26,9 +26,12 @@ parameter, only the first ID in a position should be picked and other
 IDs should appear in their original positions",
 test/collection_override_test.cpp:472-489; ids_per_pos = max(1,
 group_limit), src/collection.cpp:570-584). resolve() implements exactly
-that. Pinned deviation: the grouped variant (up to group_limit curated
-ids per position forming a synthetic group) is not implemented —
-pinned + group_by applies the ungrouped first-claimant rule.
+that. Under group_by, up to group_limit claimants per position are kept
+(claim order) and form a SYNTHETIC curated group spliced at that group
+position — engine._grouped_curated_splice, mirroring the reference's
+merge of override_result_kvs into result_group_kvs
+(src/collection.cpp:890-922; expectations ported from
+test/collection_override_test.cpp PinnedHitsGrouping).
 
 Scale note: overrides are a driver-side dict (O(10²-10³) rules in
 practice); resolution is pure string matching on the query — no Spark
@@ -84,11 +87,18 @@ class OverrideStore:
         query: str,
         pinned: dict[int, int] | None = None,
         hidden: tuple[int, ...] = (),
+        ids_per_pos: int = 1,
     ) -> tuple[dict[int, int], tuple[int, ...]]:
         """Query + explicit pins/hides → effective ({doc_id: position},
         (hidden doc_ids...)) for engine.search, mirroring
         populate_overrides' precedence: hidden > rule drops > rule adds,
-        explicit pins applied last."""
+        explicit pins applied last.
+
+        ``ids_per_pos``: claimants kept per position, in claim order —
+        1 for ungrouped search (first claimant wins, later ones rank
+        organically, collection_override_test.cpp:472-489), and
+        ``max(1, group_limit)`` under group_by (the kept claimants form
+        a synthetic curated GROUP, src/collection.cpp:570-584)."""
         q = query.lower()
         excluded: list[int] = list(hidden)
         placements: dict[int, int] = {}  # doc_id -> requested position
@@ -108,14 +118,11 @@ class OverrideStore:
         for doc_id, pos in (pinned or {}).items():
             if doc_id not in excluded:
                 placements[doc_id] = pos  # explicit pins win for a doc
-        # reference ungrouped rule (ids_per_pos = 1): the FIRST claimant
-        # of a position is curated; later claimants are dropped from the
-        # pin set and rank organically (collection_override_test.cpp:472)
-        taken: set[int] = set()
+        taken: dict[int, int] = {}  # position -> claimants kept
         resolved: dict[int, int] = {}
         for doc_id, pos in placements.items():
-            if pos in taken:
+            if taken.get(pos, 0) >= max(1, ids_per_pos):
                 continue
-            taken.add(pos)
+            taken[pos] = taken.get(pos, 0) + 1
             resolved[doc_id] = pos
         return resolved, tuple(dict.fromkeys(excluded))

@@ -140,6 +140,10 @@ class SearchResult:
     facet_stats: dict = dc_field(default_factory=dict)
     attempts: list = dc_field(default_factory=list)
     grouped: DataFrame | None = None
+    # Q20 × Q15: curated grouped page (group_pos, group_rank, doc_id,
+    # score_milli, curated) — set when pinned/overrides AND group_by are
+    # both present (reference grouped_hits, src/collection.cpp:890-922)
+    grouped_hits: DataFrame | None = None
     _found: int | None = None
 
     def highlighted_hits(
@@ -442,15 +446,107 @@ def validate_request(req: SearchRequest) -> None:
         raise ValueError("page and per_page must be >= 1.")
 
 
+def _grouped_curated_splice(
+    index: Index,
+    hydrated: DataFrame,
+    matched: DataFrame,
+    order: list,
+    pinned: dict,
+    req: SearchRequest,
+) -> DataFrame:
+    """Q20 under group_by: curated ids form SYNTHETIC groups (up to
+    group_limit claimants per position, claim order) spliced at GROUP
+    positions; organic groups exclude curated docs and rank by their
+    top hit (reference merge of override_result_kvs into
+    result_group_kvs, src/collection.cpp:890-922; expectations from
+    test/collection_override_test.cpp PinnedHitsGrouping). Driver-side
+    splice over ≤ page·per_page groups — same scale as the ungrouped
+    pinned splice."""
+    ids_per_pos = max(1, req.group_limit)
+    by_pos: dict[int, list[int]] = {}
+    for d, p in pinned.items():
+        lst = by_pos.setdefault(p, [])
+        if len(lst) < ids_per_pos:
+            lst.append(d)
+    curated = [d for lst in by_pos.values() for d in lst]
+    top_groups = req.page * req.per_page
+
+    org = hydrated.where(~F.col("doc_id").isin(curated))
+    wg = Window.partitionBy(*req.group_by).orderBy(*order)
+    wkey = Window.partitionBy(*req.group_by)
+    gdf = (
+        org.withColumn("group_rank", F.row_number().over(wg))
+        .where(F.col("group_rank") <= req.group_limit)
+        # group ordering key = the rank-1 member's (score, doc_id) —
+        # the reference sorts groups by their top KV
+        .withColumn(
+            "g_score",
+            F.max(F.when(F.col("group_rank") == 1, F.col("score_milli"))).over(wkey),
+        )
+        .withColumn(
+            "g_doc",
+            F.max(F.when(F.col("group_rank") == 1, F.col("doc_id"))).over(wkey),
+        )
+    )
+    rows = (
+        gdf.orderBy(F.col("g_score").desc(), F.col("g_doc").desc(), "group_rank")
+        .limit((top_groups + len(by_pos)) * max(req.group_limit, 1))
+        .select("doc_id", "score_milli", "group_rank", "g_score", "g_doc")
+        .collect()
+    )
+    groups: dict[tuple, list[tuple[int, int]]] = {}
+    order_keys: list[tuple] = []
+    for r in rows:
+        k = (r["g_score"], r["g_doc"])
+        if k not in groups:
+            groups[k] = []
+            order_keys.append(k)
+        groups[k].append((int(r["doc_id"]), int(r["score_milli"])))
+    sc = {
+        r["doc_id"]: int(r["score_milli"])
+        for r in matched.where(F.col("doc_id").isin(curated)).collect()
+    }
+    queue = list(order_keys)
+    remaining = dict(sorted(by_pos.items()))
+    final: list[tuple[int, list[tuple[int, int]], bool]] = []
+    pos = 1
+    while len(final) < top_groups and (queue or remaining):
+        if pos in remaining:
+            members = [(d, sc.get(d, 0)) for d in remaining.pop(pos)]
+            cur = True
+        elif queue:
+            members = groups[queue.pop(0)]
+            cur = False
+        else:
+            members = [(d, sc.get(d, 0)) for d in remaining.pop(min(remaining))]
+            cur = True
+        final.append((pos, members, cur))
+        pos += 1
+    out_rows = [
+        (gp, gr + 1, d, s, cur)
+        for gp, members, cur in final[(req.page - 1) * req.per_page :]
+        for gr, (d, s) in enumerate(members)
+    ]
+    return index.spark.createDataFrame(
+        out_rows,
+        schema="group_pos int, group_rank int, doc_id long, score_milli long, curated boolean",
+    )
+
+
 def search(index: Index, req: SearchRequest) -> SearchResult:
     validate_request(req)
     tokens, excludes = parse_query(req.q)
     docs = index.docs
 
-    # Q20: stored override rules resolve to effective pinned/hidden
+    # Q20: stored override rules resolve to effective pinned/hidden;
+    # under group_by, up to group_limit claimants per position survive
+    # (they form synthetic curated groups — _grouped_curated_splice)
     pinned, hidden = req.pinned, req.hidden
     if req.override_store is not None:
-        pinned, hidden = req.override_store.resolve(req.q, req.pinned, req.hidden)
+        pinned, hidden = req.override_store.resolve(
+            req.q, req.pinned, req.hidden,
+            ids_per_pos=max(1, req.group_limit) if req.group_by else 1,
+        )
 
     # Q9 keep-set, built once: reused by the final semi-join, by the
     # typo-deepening result counts (the reference counts results AFTER
@@ -722,6 +818,7 @@ def search(index: Index, req: SearchRequest) -> SearchResult:
     hydrated = matched.join(docs, "doc_id") if (req.sort_by or include_fields or req.group_by) else matched
 
     grouped = None
+    grouped_hits = None
     if req.group_by:
         # Q15 grouped top-k
         wg = Window.partitionBy(*req.group_by).orderBy(*order)
@@ -730,6 +827,10 @@ def search(index: Index, req: SearchRequest) -> SearchResult:
             .where(F.col("group_rank") <= req.group_limit)
             .select(*req.group_by, "doc_id", "score_milli", "group_rank")
         )
+        if pinned:
+            grouped_hits = _grouped_curated_splice(
+                index, hydrated, matched, order, pinned, req
+            )
 
     # Q14/Q22: distributed top-k (TakeOrderedAndProject) then page slice
     top_n = req.page * req.per_page
@@ -788,4 +889,5 @@ def search(index: Index, req: SearchRequest) -> SearchResult:
         facet_stats=facet_stats,
         attempts=attempts,
         grouped=grouped,
+        grouped_hits=grouped_hits,
     )

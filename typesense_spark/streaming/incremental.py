@@ -160,6 +160,74 @@ def running_event_totals(events_stream: DataFrame, timeout_ms: int = 0) -> DataF
     )
 
 
+def snapshot_staleness(root: str) -> dict:
+    """Measured staleness of a snapshotted index (r3 VERDICT #8): how
+    far the frozen-stats approximation has drifted since the base
+    build. Signal = appended-docs fraction (streamed rows / base rows),
+    read straight from the manifest's per-table row counts — NO Spark
+    job. BM25's inputs drift proportionally to this fraction: N and
+    avgdl are off by at most the fraction itself, and any term's df is
+    off by at most (streamed docs containing it) ≤ fraction·N — so a
+    threshold on the fraction bounds the score error directly."""
+    from typesense_spark.index import snapshots
+
+    m = snapshots.read_manifest(root)
+    base = int(m["tables"]["docs"]["rows"])
+    streamed = sum(
+        int(e["rows"])
+        for name, e in m["tables"].items()
+        if name.startswith("docs/stream=")
+    )
+    frac = streamed / max(base, 1)
+    return {
+        "base_docs": base,
+        "streamed_docs": streamed,
+        "appended_fraction": round(frac, 6),
+        "version": m["version"],
+    }
+
+
+def compact_snapshots(
+    spark, root: str, threshold: float = 0.1, force: bool = False
+) -> dict:
+    """Periodic-rebuild trigger: when the appended-docs fraction crosses
+    ``threshold``, fold base + stream appendices into ONE fresh build
+    with RECOMPUTED corpus stats (N/avgdl/df) and commit it as the new
+    HEAD, retiring the per-batch stream tables from the manifest (older
+    versions keep them — time travel intact). Post-compaction scores
+    are EXACTLY a from-scratch build's (tested). Below threshold: no-op,
+    returns the measured signal."""
+    from typesense_spark.index import build_index, snapshots
+
+    s = snapshot_staleness(root)
+    if not force and s["appended_fraction"] < threshold:
+        return {**s, "compacted": False}
+    m = snapshots.read_manifest(root)
+    meta = m["meta"]
+    fields = meta.get("fields") or []
+    bk = dict(meta["build_kw"])
+    store_pos = bk.pop("store_positions", True)
+    ix_old = snapshots.load_index(spark, root)
+    ix_new = build_index(
+        spark,
+        ix_old.docs,
+        fields=list(fields),
+        id_col="doc_id",
+        num_buckets=meta["num_buckets"],
+        store_positions=store_pos,
+        **bk,
+    )
+    v = snapshots.commit_index(
+        root,
+        ix_new,
+        op=f"compaction (appended_fraction={s['appended_fraction']})",
+        n_groups=meta["n_groups"],
+        build_kw={**bk, "store_positions": store_pos},
+        drop_prefixes=("docs/stream=", "doc_attrs/stream=", "postings/stream="),
+    )
+    return {**s, "compacted": True, "new_version": v}
+
+
 def snapshotted_index_stream(
     root: str,
     new_docs_stream: DataFrame,
