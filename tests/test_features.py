@@ -590,3 +590,31 @@ def test_batch_search_weighted_fields_matches_per_query(spark, corpus_df):
         query_by_weights=(2, 1), drop_tokens_threshold=10,
     )
     _batch_vs_engine(ix, qset, kw, kw)
+
+
+def test_batch_search_per_query_filters_match_engine(built_index):
+    """Per-query filter_by in batch mode: distinct filters compile once;
+    results equal engine.search with the same filter, query by query."""
+    from typesense_spark.search.batch import batch_search
+
+    qset = [("a", "import"), ("b", "import"), ("c", "return"), ("d", "import")]
+    filt = {
+        "a": "lang := python",
+        "b": "lang := go",
+        "c": "lang := python",
+        # d unfiltered
+    }
+    out = batch_search(
+        built_index, qset, fields=("content",), num_typos=0, k=5, filters=filt
+    )
+    by_qid = {}
+    for r in out.collect():
+        by_qid.setdefault(r["qid"], []).append((r["rank"], r["doc_id"], r["score_milli"]))
+    for qid, q in qset:
+        res = search(
+            built_index,
+            SearchRequest(q=q, fields=("content",), num_typos=0, per_page=5,
+                          drop_tokens_threshold=0, filter_by=filt.get(qid)),
+        )
+        want = [(r["rank"], r["doc_id"], r["score_milli"]) for r in res.hits.collect()]
+        assert sorted(by_qid.get(qid, [])) == want, qid

@@ -950,6 +950,67 @@ def batch_full_oracle() -> str:
     )
 
 
+# per-query attribute filters in batch mode (Q9 × batch): two distinct
+# filter_by strings shared by three queries + one unfiltered query —
+# the batch plan compiles each DISTINCT filter once
+BATCH_FILTERED_QUERIES = [
+    ("b1", "merge batch"),
+    ("b2", "merge batch"),
+    ("b3", "window"),
+    ("b4", "window"),
+]
+BATCH_FILTERS = {
+    "b1": "lang := en",
+    "b2": "n_chars: >= 500",
+    "b3": "lang := en",
+    # b4 unfiltered
+}
+
+
+def q_batch_filtered(spark, sf_dir):
+    from typesense_spark.search.batch import batch_search
+
+    return batch_search(
+        get_index(spark, sf_dir), BATCH_FILTERED_QUERIES, fields=("text",),
+        num_typos=0, prefix_last=False, k=10, filters=BATCH_FILTERS,
+    ).orderBy("qid", "rank")
+
+
+def batch_filtered_oracle() -> str:
+    qvals = []
+    for qid, q in BATCH_FILTERED_QUERIES:
+        from typesense_spark.tokenizer import tokenize_terms
+
+        toks = tokenize_terms(q)
+        for i, t in enumerate(toks):
+            qvals.append(f"('{qid}', {i}, '{t}', {len(toks)})")
+    fconds = {
+        "b1": "d.lang = 'en'",
+        "b2": "d.n_chars >= 500",
+        "b3": "d.lang = 'en'",
+    }
+    keep_parts = [
+        f"SELECT '{qid}' AS qid, doc_id FROM documents d WHERE {cond}"
+        for qid, cond in fconds.items()
+    ]
+    filtered_in = ", ".join(f"'{q}'" for q in fconds)
+    return (
+        _PRELUDE
+        + f", qset(qid, qidx, term, n_tokens) AS (VALUES {', '.join(qvals)})"
+        + ", per_tok AS (SELECT qset.qid, qset.n_tokens, contrib.doc_id, qset.qidx, "
+        "max(contrib.c) AS best FROM contrib JOIN qset USING (term) GROUP BY 1, 2, 3, 4)"
+        ", scored AS (SELECT qid, doc_id, CAST(sum(best) AS BIGINT) AS score_milli FROM per_tok "
+        "GROUP BY qid, n_tokens, doc_id HAVING count(*) = n_tokens)"
+        + ", keep AS (" + " UNION ALL ".join(keep_parts) + ")"
+        + ", kept AS ("
+        f"SELECT s.* FROM scored s JOIN keep k ON k.qid = s.qid AND k.doc_id = s.doc_id "
+        f"UNION ALL SELECT * FROM scored WHERE qid NOT IN ({filtered_in}))"
+        + " SELECT qid, CAST(rn AS BIGINT) AS rank, doc_id, score_milli FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score_milli DESC, doc_id DESC) AS rn "
+        "FROM kept) WHERE rn <= 10 ORDER BY qid, rank"
+    )
+
+
 def q_batch_queries(spark, sf_dir):
     """Set-oriented multi-query search: 8 queries in ONE Spark job
     (the Spark-idiomatic answer to the reference's concurrent-qps
@@ -1012,6 +1073,7 @@ QUERIES = {
     "events_json": q_events_json,
     "batch_queries": q_batch_queries,
     "batch_full": q_batch_full,
+    "batch_filtered": q_batch_filtered,
     "unicode_tokens": q_unicode_tokens,
 }
 
@@ -1443,6 +1505,7 @@ def build_oracles() -> dict[str, str]:
         "FROM scored) WHERE rn <= 10 ORDER BY qid, rank"
     )
     o["batch_full"] = batch_full_oracle()
+    o["batch_filtered"] = batch_filtered_oracle()
     o["unicode_tokens"] = unicode_tokens_oracle()
     o["events_window"] = (
         # floor() before the cast: DuckDB's epoch() keeps fractional

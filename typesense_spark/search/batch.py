@@ -139,6 +139,7 @@ def batch_search(
     synonyms: dict | None = None,
     synonym_store: object | None = None,
     drop_tokens_threshold: int | None = None,
+    filters: dict[str, str] | None = None,
 ) -> DataFrame:
     """[(qid, q)] → (qid, rank, doc_id, score_milli), rank ≤ k per qid.
 
@@ -146,8 +147,11 @@ def batch_search(
     fallback (``drop_tokens_threshold``; None/0 disables, like the
     legacy batch path), synonym windows (``synonym_store``) and
     single-token alternates (``synonyms``), per-field weights
-    (``query_by_weights``, parallel to ``fields``), and '-token'
-    exclusions parsed from each query string."""
+    (``query_by_weights``, parallel to ``fields``), '-token' exclusions
+    parsed from each query string, and per-query attribute filters
+    (``filters``: {qid: filter_by DSL} — each DISTINCT filter string
+    compiles to one Catalyst predicate over the docs table; N queries
+    sharing F filters cost F doc scans, not N)."""
     if query_by_weights and len(query_by_weights) != len(fields):
         raise ValueError("query_by_weights must be parallel to fields")
     spark = index.spark
@@ -279,6 +283,34 @@ def batch_search(
     merged = scored.groupBy("qid", "doc_id").agg(
         F.max("score_milli").alias("score_milli")
     )
+
+    # ---- per-query attribute filters (Q9 in batch) -------------------------
+    # each distinct filter_by string becomes ONE keep relation (plain
+    # Catalyst predicate over docs — pushdown applies); qids map to
+    # their filter id via a broadcast table, so the whole batch costs
+    # one scan per DISTINCT filter + one semi-join
+    if filters:
+        from typesense_spark.search.filters import apply_filter_by
+
+        distinct = sorted({f for f in filters.values()})
+        fid_of = {f: i for i, f in enumerate(distinct)}
+        keep = None
+        for f, fid in fid_of.items():
+            part = apply_filter_by(index.docs, f).select(
+                F.lit(fid).alias("fid"), "doc_id"
+            )
+            keep = part if keep is None else keep.unionByName(part)
+        qf = spark.createDataFrame(
+            [(qid, fid_of[f]) for qid, f in sorted(filters.items())],
+            schema="qid string, fid int",
+        )
+        filtered = (
+            merged.join(F.broadcast(qf), "qid")
+            .join(keep, ["fid", "doc_id"], "left_semi")
+            .drop("fid")
+        )
+        unfiltered = merged.join(F.broadcast(qf), "qid", "left_anti")
+        merged = filtered.unionByName(unfiltered)
 
     # ---- exclusions: per-(qid, doc) anti-join ------------------------------
     if excl_rows:
