@@ -261,26 +261,38 @@ def soak_run(master: str, n_docs: int) -> None:
         n = 1 + (i * 2654435761) % 3
         toks = [vocab[(i * 40503 + j * 69069) % len(vocab)] for j in range(n)]
         qs.append((f"b{i}", " ".join(toks)))
+    batch_start_ms = int(time.time() * 1000)
     t0 = time.time()
     batch_search(ix, qs, fields=("content",), num_typos=0, k=10).count()
     batch_dt = time.time() - t0
     postings = ix.report.n_postings
     spark.stop()  # finalizes the event log
 
-    mem_spill = disk_spill = shuf_write = 0
+    # spill/shuffle accounting split by phase on task finish time: the
+    # BUILD must stay spill-free (the 100×-story criterion); the 4000-
+    # query batch deliberately aggregates Σ df(token) scored rows in one
+    # job and is ALLOWED to spill — that is the graceful-degradation
+    # path, reported separately so the build's zero isn't masked
+    phases = {
+        "build": [0, 0, 0],  # mem, disk, shuffle-write
+        "batch": [0, 0, 0],
+    }
     paths = [p for p in glob.glob(f"{evdir}/**", recursive=True) if os.path.isfile(p)]
     for path in paths:
-        with open(path) as f:
+        with open(path, errors="ignore") as f:
             for line in f:
                 if '"SparkListenerTaskEnd"' not in line:
                     continue
                 try:
-                    m = json.loads(line).get("Task Metrics") or {}
+                    d = json.loads(line)
                 except json.JSONDecodeError:
                     continue
-                mem_spill += m.get("Memory Bytes Spilled", 0)
-                disk_spill += m.get("Disk Bytes Spilled", 0)
-                shuf_write += (m.get("Shuffle Write Metrics") or {}).get(
+                m = d.get("Task Metrics") or {}
+                fin = (d.get("Task Info") or {}).get("Finish Time", 0)
+                ph = phases["batch" if fin >= batch_start_ms else "build"]
+                ph[0] += m.get("Memory Bytes Spilled", 0)
+                ph[1] += m.get("Disk Bytes Spilled", 0)
+                ph[2] += (m.get("Shuffle Write Metrics") or {}).get(
                     "Shuffle Bytes Written", 0
                 )
     print(
@@ -295,9 +307,14 @@ def soak_run(master: str, n_docs: int) -> None:
                 "query_filtered_and_sec": round(q_and, 3),
                 "query_wand_or_sec": round(q_wand, 3),
                 "batch_qps": round(len(qs) / batch_dt, 1),
-                "shuffle_write_bytes": shuf_write,
-                "memory_bytes_spilled": mem_spill,
-                "disk_bytes_spilled": disk_spill,
+                "shuffle_write_bytes": phases["build"][2],
+                "memory_bytes_spilled": phases["build"][0],
+                "disk_bytes_spilled": phases["build"][1],
+                "batch_phase": {
+                    "memory_bytes_spilled": phases["batch"][0],
+                    "disk_bytes_spilled": phases["batch"][1],
+                    "shuffle_write_bytes": phases["batch"][2],
+                },
             }
         )
     )
@@ -567,14 +584,20 @@ def main() -> None:
             if c not in best or rnd[c]["elapsed_sec"] < best[c]["elapsed_sec"]:
                 best[c] = rnd[c]
 
-    def eff(lo: int, hi: int) -> float:
-        return round(
-            max(
-                (r[hi]["docs_per_sec"] / r[lo]["docs_per_sec"]) / (hi / lo)
-                for r in rounds
-            ),
-            3,
+    def paired(lo: int, hi: int) -> list[float]:
+        return sorted(
+            round((r[hi]["docs_per_sec"] / r[lo]["docs_per_sec"]) / (hi / lo), 3)
+            for r in rounds
         )
+
+    def eff(lo: int, hi: int) -> float:
+        # MEDIAN of paired ratios: a contention window during one level
+        # of one round biases that round's ratio (low if it hit the
+        # high-core level, high — even super-linear — if it hit the
+        # low-core level); the median discards one corrupted round on
+        # EITHER side, where max/min/ratio-of-bests are each one-sided
+        ratios = paired(lo, hi)
+        return ratios[len(ratios) // 2]
 
     queries, total, batch_qps, batch_qps_typo2, batch_qps_full = headline_queries(
         sf_dir, cpus
@@ -594,8 +617,10 @@ def main() -> None:
             "postings_per_sec": {f"{c}c": best[c]["postings_per_sec"] for c in levels},
             "efficiency_2_to_8": eff(2, 8),
             "efficiency_8_to_32": eff(8, 32),
+            "paired_ratios_2_to_8": paired(2, 8),
+            "paired_ratios_8_to_32": paired(8, 32),
             "trial_walls_sec": all_trials,
-            "note": "paired interleaved rounds: efficiency = best same-round ratio (co-tenant drift cancels); 32 vCPU = ~26 effective cores (SMT) — see BASELINE.md",
+            "note": "paired interleaved rounds: efficiency = MEDIAN same-round ratio (one contended round on either side discarded); 32 vCPU = ~26 effective cores (SMT) — see BASELINE.md",
         },
     }
 

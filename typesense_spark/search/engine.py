@@ -697,8 +697,11 @@ def search(index: Index, req: SearchRequest) -> SearchResult:
             attempts.append(attempt)
             if scored is not None:
                 matched = _merge(matched, scored)
-                if attempt is plan[-1]:
-                    break  # no further fallback — skip the count job
+                if attempt is plan[-1] or req.drop_tokens_threshold <= 0:
+                    # no further fallback possible (last attempt), or the
+                    # fallback is disabled (threshold ≤ 0 always breaks
+                    # here) — either way the count probe job is pure cost
+                    break
                 # the fallback decision is a count job over the full
                 # score plan — persist the narrow merged rows so the
                 # final hits/facets actions read the materialized
