@@ -618,3 +618,29 @@ def test_batch_search_per_query_filters_match_engine(built_index):
         )
         want = [(r["rank"], r["doc_id"], r["score_milli"]) for r in res.hits.collect()]
         assert sorted(by_qid.get(qid, [])) == want, qid
+
+
+def test_batch_facet_counts_match_engine(built_index):
+    """Batched per-query facets over the FULL matched set — equal to
+    engine.search(facet_by=...) query by query."""
+    from typesense_spark.search.batch import batch_facet_counts
+
+    qset = [("a", "import"), ("b", "return class"), ("c", "zzznope")]
+    out = batch_facet_counts(
+        built_index, qset, "lang", fields=("content",), num_typos=0
+    )
+    by_qid = {}
+    for r in out.collect():
+        by_qid.setdefault(r["qid"], []).append((r["facet_value"], r["facet_count"]))
+    for qid, q in qset:
+        res = search(
+            built_index,
+            SearchRequest(q=q, fields=("content",), num_typos=0,
+                          drop_tokens_threshold=0, facet_by=("lang",)),
+        )
+        want = [
+            (r["facet_value"], r["facet_count"])
+            for r in res.facets["lang"].collect()
+        ]
+        got = sorted(by_qid.get(qid, []), key=lambda x: (-x[1], x[0]))
+        assert got == want, (qid, got, want)

@@ -1011,6 +1011,42 @@ def batch_filtered_oracle() -> str:
     )
 
 
+def q_batch_facets(spark, sf_dir):
+    """Q17 × batch: per-query facet counts over the FULL matched set
+    for a whole query batch in ONE plan (the reference computes facets
+    on every faceted request, src/index.cpp:608-816)."""
+    from typesense_spark.search.batch import batch_facet_counts
+
+    return batch_facet_counts(
+        get_index(spark, sf_dir), BATCH_QUERIES, "lang",
+        fields=("text",), num_typos=0, prefix_last=False,
+    ).orderBy("qid", F.desc("facet_count"), "facet_value")
+
+
+def batch_facets_oracle() -> str:
+    from typesense_spark.tokenizer import tokenize_terms
+
+    qvals = []
+    for qid, q in BATCH_QUERIES:
+        toks = tokenize_terms(q)
+        for i, t in enumerate(toks):
+            qvals.append(f"('{qid}', {i}, '{t}', {len(toks)})")
+    return (
+        _PRELUDE
+        + f", qset(qid, qidx, term, n_tokens) AS (VALUES {', '.join(qvals)})"
+        + ", per_tok AS (SELECT qset.qid, qset.n_tokens, contrib.doc_id, qset.qidx, "
+        "max(contrib.c) AS best FROM contrib JOIN qset USING (term) GROUP BY 1, 2, 3, 4)"
+        ", scored AS (SELECT qid, doc_id FROM per_tok "
+        "GROUP BY qid, n_tokens, doc_id HAVING count(*) = n_tokens)"
+        + ", fc AS (SELECT s.qid, d.lang AS facet_value, count(*) AS facet_count "
+        "FROM scored s JOIN documents d USING (doc_id) GROUP BY 1, 2)"
+        + " SELECT qid, facet_value, facet_count FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY qid "
+        "ORDER BY facet_count DESC, facet_value) AS rn FROM fc) "
+        "WHERE rn <= 10 ORDER BY qid, facet_count DESC, facet_value"
+    )
+
+
 def q_batch_queries(spark, sf_dir):
     """Set-oriented multi-query search: 8 queries in ONE Spark job
     (the Spark-idiomatic answer to the reference's concurrent-qps
@@ -1074,6 +1110,7 @@ QUERIES = {
     "batch_queries": q_batch_queries,
     "batch_full": q_batch_full,
     "batch_filtered": q_batch_filtered,
+    "batch_facets": q_batch_facets,
     "unicode_tokens": q_unicode_tokens,
 }
 
@@ -1506,6 +1543,7 @@ def build_oracles() -> dict[str, str]:
     )
     o["batch_full"] = batch_full_oracle()
     o["batch_filtered"] = batch_filtered_oracle()
+    o["batch_facets"] = batch_facets_oracle()
     o["unicode_tokens"] = unicode_tokens_oracle()
     o["events_window"] = (
         # floor() before the cast: DuckDB's epoch() keeps fractional

@@ -59,6 +59,7 @@ from typesense_spark.search.engine import (
 from typesense_spark.search.expand import expand_tokens_batch
 
 _EMPTY_SCHEMA = "qid string, rank long, doc_id long, score_milli long"
+_MATCHED_SCHEMA = "qid string, doc_id long, score_milli long"
 # organic attempts are numbered 0..n-1; synonym-variant vectors sit
 # above this base so the cutoff window (organic only) never sees them
 _SYN_BASE = 1_000_000
@@ -126,14 +127,13 @@ def _expand_specs(
     )
 
 
-def batch_search(
+def _batch_matched(
     index: Index,
     queries: list[tuple[str, str]],
     fields: tuple[str, ...] = ("content",),
     num_typos: int = 0,
     prefix_last: bool = True,  # reference default (src/core_api.cpp:299)
     mode: str = "and",
-    k: int = 10,
     typo_distance: str = "levenshtein",
     query_by_weights: tuple[int, ...] = (),
     synonyms: dict | None = None,
@@ -141,17 +141,11 @@ def batch_search(
     drop_tokens_threshold: int | None = None,
     filters: dict[str, str] | None = None,
 ) -> DataFrame:
-    """[(qid, q)] → (qid, rank, doc_id, score_milli), rank ≤ k per qid.
-
-    Full engine surface per query (see module docstring): drop-tokens
-    fallback (``drop_tokens_threshold``; None/0 disables, like the
-    legacy batch path), synonym windows (``synonym_store``) and
-    single-token alternates (``synonyms``), per-field weights
-    (``query_by_weights``, parallel to ``fields``), '-token' exclusions
-    parsed from each query string, and per-query attribute filters
-    (``filters``: {qid: filter_by DSL} — each DISTINCT filter string
-    compiles to one Catalyst predicate over the docs table; N queries
-    sharing F filters cost F doc scans, not N)."""
+    """The shared batch pipeline up to the per-query MATCHED set:
+    (qid, doc_id, score_milli), one row per matching doc per query —
+    consumed by :func:`batch_search` (top-k) and
+    :func:`batch_facet_counts` (full-set facets, like the engine's
+    facets-over-matched semantics)."""
     if query_by_weights and len(query_by_weights) != len(fields):
         raise ValueError("query_by_weights must be parallel to fields")
     spark = index.spark
@@ -187,7 +181,7 @@ def batch_search(
         | {(a, False) for alts in (synonyms or {}).values() for a in alts}
     )
     if not specs:
-        return spark.createDataFrame([], schema=_EMPTY_SCHEMA)
+        return spark.createDataFrame([], schema=_MATCHED_SCHEMA)
     cand_map = _expand_specs(index, specs, fields, num_typos, typo_distance)
     if synonyms:
         # single-token alternates join the token's candidate set at cost
@@ -215,7 +209,7 @@ def batch_search(
             for t, _c in cand:
                 rows.append((v, qid, aidx, i, t, len(toks)))
     if not rows:
-        return spark.createDataFrame([], schema=_EMPTY_SCHEMA)
+        return spark.createDataFrame([], schema=_MATCHED_SCHEMA)
     cmap = spark.createDataFrame(
         rows, schema="vec_id int, qid string, aidx int, qidx int, term string, n_tokens int"
     )
@@ -324,7 +318,40 @@ def batch_search(
             .distinct()
         )
         merged = merged.join(ex_docs, ["qid", "doc_id"], "left_anti")
+    return merged
 
+
+def batch_search(
+    index: Index,
+    queries: list[tuple[str, str]],
+    fields: tuple[str, ...] = ("content",),
+    num_typos: int = 0,
+    prefix_last: bool = True,
+    mode: str = "and",
+    k: int = 10,
+    typo_distance: str = "levenshtein",
+    query_by_weights: tuple[int, ...] = (),
+    synonyms: dict | None = None,
+    synonym_store: object | None = None,
+    drop_tokens_threshold: int | None = None,
+    filters: dict[str, str] | None = None,
+) -> DataFrame:
+    """[(qid, q)] → (qid, rank, doc_id, score_milli), rank ≤ k per qid.
+
+    Full engine surface per query (see module docstring): drop-tokens
+    fallback (``drop_tokens_threshold``; None/0 disables, like the
+    legacy batch path), synonym windows (``synonym_store``) and
+    single-token alternates (``synonyms``), per-field weights
+    (``query_by_weights``, parallel to ``fields``), '-token' exclusions
+    parsed from each query string, and per-query attribute filters
+    (``filters``: {qid: filter_by DSL} — each DISTINCT filter string
+    compiles to one Catalyst predicate over the docs table; N queries
+    sharing F filters cost F doc scans, not N)."""
+    merged = _batch_matched(
+        index, queries, fields, num_typos, prefix_last, mode, typo_distance,
+        query_by_weights, synonyms, synonym_store, drop_tokens_threshold,
+        filters,
+    )
     # ---- per-query top-k ----------------------------------------------------
     w = Window.partitionBy("qid").orderBy(
         F.col("score_milli").desc(), F.col("doc_id").desc()
@@ -333,4 +360,33 @@ def batch_search(
         merged.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select("qid", "rank", "doc_id", "score_milli")
+    )
+
+
+def batch_facet_counts(
+    index: Index,
+    queries: list[tuple[str, str]],
+    facet_col: str,
+    max_facet_values: int = 10,
+    **kw,
+) -> DataFrame:
+    """Per-query facet counts over the FULL matched set (the engine's
+    Q17 semantics, batched): (qid, facet_value, facet_count), top
+    ``max_facet_values`` per qid ordered (count DESC, value) — the
+    reference computes facets on every faceted request
+    (src/index.cpp:608-816); this is that shape for a whole query log
+    in ONE plan. Accepts every :func:`batch_search` keyword."""
+    merged = _batch_matched(index, queries, **kw)
+    counts = (
+        merged.join(index.docs.select("doc_id", facet_col), "doc_id")
+        .groupBy("qid", F.col(facet_col).alias("facet_value"))
+        .agg(F.count("*").alias("facet_count"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("facet_count").desc(), F.col("facet_value")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= max_facet_values)
+        .select("qid", "facet_value", "facet_count")
     )
