@@ -644,3 +644,41 @@ def test_batch_facet_counts_match_engine(built_index):
         ]
         got = sorted(by_qid.get(qid, []), key=lambda x: (-x[1], x[0]))
         assert got == want, (qid, got, want)
+
+
+def test_batch_grouped_matches_engine(built_index):
+    """Batched per-query grouped top-k: within-group members and
+    group ordering equal engine.search(group_by=...), query by query."""
+    from typesense_spark.search.batch import batch_grouped
+
+    qset = [("a", "import"), ("b", "return class")]
+    out = batch_grouped(
+        built_index, qset, ("lang",), group_limit=2, top_groups=3,
+        fields=("content",), num_typos=0,
+    )
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["qid"], {}).setdefault(r["group_pos"], []).append(
+            (r["group_rank"], r["doc_id"], r["score_milli"], r["lang"])
+        )
+    for qid, q in qset:
+        res = search(
+            built_index,
+            SearchRequest(q=q, fields=("content",), num_typos=0,
+                          drop_tokens_threshold=0, group_by=("lang",),
+                          group_limit=2),
+        )
+        rows = res.grouped.collect()
+        groups = {}
+        for r in rows:
+            groups.setdefault(r["lang"], []).append(
+                (r["group_rank"], r["doc_id"], r["score_milli"], r["lang"])
+            )
+        # order groups by their top hit, take top 3
+        ordered = sorted(
+            groups.values(),
+            key=lambda ms: (-min(ms)[2], -min(ms)[1]),
+        )[:3]
+        want = {i + 1: sorted(ms) for i, ms in enumerate(ordered)}
+        g = {pos: sorted(ms) for pos, ms in got.get(qid, {}).items()}
+        assert g == want, (qid, g, want)

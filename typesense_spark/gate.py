@@ -1047,6 +1047,49 @@ def batch_facets_oracle() -> str:
     )
 
 
+def q_batch_grouped(spark, sf_dir):
+    """Q15 × batch: per-query grouped top-k (2 hits per lang group,
+    best 3 groups per query) for a whole batch in ONE plan."""
+    from typesense_spark.search.batch import batch_grouped
+
+    return batch_grouped(
+        get_index(spark, sf_dir), BATCH_QUERIES, ("lang",), group_limit=2,
+        top_groups=3, fields=("text",), num_typos=0, prefix_last=False,
+    ).orderBy("qid", "group_pos", "group_rank")
+
+
+def batch_grouped_oracle() -> str:
+    from typesense_spark.tokenizer import tokenize_terms
+
+    qvals = []
+    for qid, q in BATCH_QUERIES:
+        toks = tokenize_terms(q)
+        for i, t in enumerate(toks):
+            qvals.append(f"('{qid}', {i}, '{t}', {len(toks)})")
+    return (
+        _PRELUDE
+        + f", qset(qid, qidx, term, n_tokens) AS (VALUES {', '.join(qvals)})"
+        + ", per_tok AS (SELECT qset.qid, qset.n_tokens, contrib.doc_id, qset.qidx, "
+        "max(contrib.c) AS best FROM contrib JOIN qset USING (term) GROUP BY 1, 2, 3, 4)"
+        ", scored AS (SELECT qid, doc_id, CAST(sum(best) AS BIGINT) AS score_milli FROM per_tok "
+        "GROUP BY qid, n_tokens, doc_id HAVING count(*) = n_tokens)"
+        + ", gm AS (SELECT s.qid, d.lang, s.doc_id, s.score_milli, "
+        "row_number() OVER (PARTITION BY s.qid, d.lang "
+        "ORDER BY s.score_milli DESC, s.doc_id DESC) AS group_rank "
+        "FROM scored s JOIN documents d USING (doc_id))"
+        + ", lim AS (SELECT * FROM gm WHERE group_rank <= 2)"
+        + ", keyd AS (SELECT *, "
+        "max(CASE WHEN group_rank = 1 THEN score_milli END) OVER (PARTITION BY qid, lang) AS g_score, "
+        "max(CASE WHEN group_rank = 1 THEN doc_id END) OVER (PARTITION BY qid, lang) AS g_doc "
+        "FROM lim)"
+        + ", posd AS (SELECT *, dense_rank() OVER (PARTITION BY qid "
+        "ORDER BY g_score DESC, g_doc DESC) AS group_pos FROM keyd)"
+        + " SELECT qid, lang, CAST(group_pos AS INT) AS group_pos, "
+        "CAST(group_rank AS INT) AS group_rank, doc_id, score_milli "
+        "FROM posd WHERE group_pos <= 3 ORDER BY qid, group_pos, group_rank"
+    )
+
+
 def q_batch_queries(spark, sf_dir):
     """Set-oriented multi-query search: 8 queries in ONE Spark job
     (the Spark-idiomatic answer to the reference's concurrent-qps
@@ -1111,6 +1154,7 @@ QUERIES = {
     "batch_full": q_batch_full,
     "batch_filtered": q_batch_filtered,
     "batch_facets": q_batch_facets,
+    "batch_grouped": q_batch_grouped,
     "unicode_tokens": q_unicode_tokens,
 }
 
@@ -1544,6 +1588,7 @@ def build_oracles() -> dict[str, str]:
     o["batch_full"] = batch_full_oracle()
     o["batch_filtered"] = batch_filtered_oracle()
     o["batch_facets"] = batch_facets_oracle()
+    o["batch_grouped"] = batch_grouped_oracle()
     o["unicode_tokens"] = unicode_tokens_oracle()
     o["events_window"] = (
         # floor() before the cast: DuckDB's epoch() keeps fractional

@@ -363,6 +363,50 @@ def batch_search(
     )
 
 
+def batch_grouped(
+    index: Index,
+    queries: list[tuple[str, str]],
+    group_by: tuple[str, ...],
+    group_limit: int = 3,
+    top_groups: int = 10,
+    **kw,
+) -> DataFrame:
+    """Per-query grouped top-k (the engine's Q15, batched): within each
+    (qid, group key) keep the best ``group_limit`` hits; groups rank per
+    qid by their TOP hit (score DESC, doc_id DESC — the reference sorts
+    groups by their top KV) and only the best ``top_groups`` groups per
+    qid survive. Output: (qid, *group_by, group_pos, group_rank,
+    doc_id, score_milli). Accepts every :func:`batch_search` keyword."""
+    merged = _batch_matched(index, queries, **kw)
+    hydrated = merged.join(
+        index.docs.select("doc_id", *group_by), "doc_id"
+    )
+    wg = Window.partitionBy("qid", *group_by).orderBy(
+        F.col("score_milli").desc(), F.col("doc_id").desc()
+    )
+    wkey = Window.partitionBy("qid", *group_by)
+    wpos = Window.partitionBy("qid").orderBy(
+        F.col("g_score").desc(), F.col("g_doc").desc()
+    )
+    return (
+        hydrated.withColumn("group_rank", F.row_number().over(wg))
+        .where(F.col("group_rank") <= group_limit)
+        .withColumn(
+            "g_score",
+            F.max(F.when(F.col("group_rank") == 1, F.col("score_milli"))).over(wkey),
+        )
+        .withColumn(
+            "g_doc",
+            F.max(F.when(F.col("group_rank") == 1, F.col("doc_id"))).over(wkey),
+        )
+        .withColumn("group_pos", F.dense_rank().over(wpos))
+        .where(F.col("group_pos") <= top_groups)
+        .select(
+            "qid", *group_by, "group_pos", "group_rank", "doc_id", "score_milli"
+        )
+    )
+
+
 def batch_facet_counts(
     index: Index,
     queries: list[tuple[str, str]],
