@@ -646,6 +646,71 @@ def test_batch_facet_counts_match_engine(built_index):
         assert got == want, (qid, got, want)
 
 
+def test_batch_typo_deepening_matches_per_query(built_index):
+    """typo_tokens_threshold in batch mode: per-vector cost-level stop
+    rule, parity with the engine's deepening loop — including the
+    stops-early, deepens-fully, and fallback-interplay cases."""
+    qset = [
+        ("a", "impor"),     # cost-1 correction matches plenty → stops at 1
+        ("b", "improt"),    # transposition target
+        ("c", "zygomorphik"),  # rare-term typo target
+        ("d", "import"),    # exact hit at cost 0
+    ]
+    kw = dict(
+        fields=("content",), num_typos=2, drop_tokens_threshold=0,
+        typo_tokens_threshold=5,
+    )
+    _batch_vs_engine(built_index, qset, kw, kw)
+    # unreachable threshold → deepen all the way (== full expansion)
+    hi = dict(kw, typo_tokens_threshold=10**6)
+    _batch_vs_engine(built_index, qset, hi, hi)
+    # deepening + drop-tokens fallback + synonym alternates in ONE plan
+    mixed = dict(
+        fields=("content",), num_typos=2, drop_tokens_threshold=10,
+        typo_tokens_threshold=5, synonyms={"import": ["return"]},
+    )
+    _batch_vs_engine(
+        built_index, [("a", "impor zzznope"), ("b", "import"), ("c", "improt")],
+        mixed, mixed,
+    )
+
+
+def test_batch_typo_deepening_counts_filtered_results(spark):
+    """Batch deepening must count NARROWED results (per-query filters
+    applied), like engine._narrowed_count: a query whose cost-1 hits
+    are outside its filter keeps deepening; the same query without a
+    filter stops at cost 1 — in the SAME batch."""
+    from typesense_spark.index import build_index
+    from typesense_spark.search.batch import batch_search
+
+    rows = [(i, "aab common filler", "en") for i in range(30)]
+    rows += [(100 + i, "aacc rare py", "py") for i in range(3)]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string, lang string")
+    ix = build_index(spark, df, fields=["text"], id_col="doc_id", num_buckets=2)
+    qset = [("f", "aaa"), ("u", "aaa")]
+    out = batch_search(
+        ix, qset, fields=("text",), num_typos=2, k=10,
+        typo_tokens_threshold=5, filters={"f": "lang := py"},
+        prefix_last=False,
+    )
+    by_qid = {}
+    for r in out.collect():
+        by_qid.setdefault(r["qid"], set()).add(r["doc_id"])
+    assert by_qid.get("f") == {100, 101, 102}  # deepened to cost 2 under filter
+    assert by_qid.get("u") and by_qid["u"].isdisjoint({100, 101, 102})
+    for qid, filt in (("f", "lang := py"), ("u", None)):
+        res = search(
+            ix,
+            SearchRequest(
+                q="aaa", fields=("text",), num_typos=2, per_page=10,
+                typo_tokens_threshold=5, filter_by=filt, prefix_last=False,
+                drop_tokens_threshold=0,
+            ),
+        )
+        want = {r["doc_id"] for r in res.hits.collect()}
+        assert by_qid.get(qid, set()) == want, qid
+
+
 def test_batch_grouped_matches_engine(built_index):
     """Batched per-query grouped top-k: within-group members and
     group ordering equal engine.search(group_by=...), query by query."""

@@ -1090,6 +1090,104 @@ def batch_grouped_oracle() -> str:
     )
 
 
+# typo deepening in batch mode (Q4 × batch): 'daup' expands to 'dup'
+# (cost 1, the corpus's ONE rare term) and 'data' (cost 2, frequent) —
+# the threshold stops d1 at cost 1, while d2's lang filter leaves too
+# few cost-1 hits so it deepens to cost 2 (the probe counts NARROWED
+# results, like the engine's _narrowed_count / reference
+# src/index.cpp:947-950 which stops once FILTERED results reach the
+# threshold). d3 runs the level probe under a two-token AND; d4's
+# expansion has no cost-2 candidates (maxc=1), covering the
+# full-depth fallthrough.
+BATCH_DEEPEN_QUERIES = [
+    ("d1", "daup"),
+    ("d2", "daup"),
+    ("d3", "batch daup"),
+    ("d4", "merg"),
+]
+BATCH_DEEPEN_FILTERS = {"d2": "lang := fr"}
+BATCH_DEEPEN_KW = dict(
+    num_typos=2, prefix_last=False, k=10, typo_tokens_threshold=10
+)
+
+
+def q_batch_deepen(spark, sf_dir):
+    """Q4 × batch: typo_tokens_threshold deepening, set-oriented — each
+    vector's cost-level stop rule computed from ONE conditional
+    aggregation plus a per-(vector, level) narrowed count relation
+    (search/batch.py deepen path)."""
+    from typesense_spark.search.batch import batch_search
+
+    return batch_search(
+        get_index(spark, sf_dir), BATCH_DEEPEN_QUERIES, fields=("text",),
+        filters=BATCH_DEEPEN_FILTERS, **BATCH_DEEPEN_KW
+    ).orderBy("qid", "rank")
+
+
+def batch_deepen_oracle() -> str:
+    """DuckDB mirror of the batch deepening pipeline: per-query typo
+    expansion WITH costs (same per-cost caps as expand.expand_token),
+    per-level AND scoring via a levels cross join, NARROWED per-level
+    result counts, the engine's stop rule (min level < max_cost whose
+    count reaches the threshold, else full depth), and top-k at the
+    chosen level."""
+    from typesense_spark.tokenizer import tokenize_terms
+
+    nt = BATCH_DEEPEN_KW["num_typos"]
+    thr = BATCH_DEEPEN_KW["typo_tokens_threshold"]
+    k = BATCH_DEEPEN_KW["k"]
+    qmeta_vals, cand_parts = [], []
+    for qid, q in BATCH_DEEPEN_QUERIES:
+        toks = tokenize_terms(q)
+        qmeta_vals.append(f"('{qid}', {len(toks)})")
+        for i, tok in enumerate(toks):
+            mc = bounded_typo_cost(tok, nt)
+            cand_parts.append(
+                f"SELECT '{qid}' AS qid, {i} AS qidx, term, cost FROM ("
+                f"SELECT term, levenshtein(term, '{tok}') AS cost, "
+                f"row_number() OVER (PARTITION BY levenshtein(term, '{tok}') "
+                f"ORDER BY df DESC, term) AS rn "
+                f"FROM tstat WHERE levenshtein(term, '{tok}') <= {mc}"
+                f") WHERE cost = 0 OR rn <= {MAX_CANDIDATES}"
+            )
+    fcond = " ".join(
+        f"WHEN f.qid = '{qid}' THEN d.lang = '{dsl.split(':=')[1].strip()}'"
+        for qid, dsl in BATCH_DEEPEN_FILTERS.items()
+    )
+    filt = f"CASE {fcond} ELSE TRUE END"
+    lv_vals = ", ".join(f"({c})" for c in range(nt + 1))
+    return (
+        _PRELUDE
+        + f", qmeta(qid, n_tokens) AS (VALUES {', '.join(qmeta_vals)})"
+        + ", bcand AS (SELECT DISTINCT qid, qidx, term, cost FROM ("
+        + " UNION ALL ".join(cand_parts)
+        + "))"
+        + f", lv(c) AS (VALUES {lv_vals})"
+        + ", per_tok AS (SELECT b.qid, b.qidx, l.c, contrib.doc_id, "
+        "max(CASE WHEN b.cost <= l.c THEN contrib.c END) AS best "
+        "FROM contrib JOIN bcand b USING (term) CROSS JOIN lv l "
+        "GROUP BY 1, 2, 3, 4)"
+        + ", vsc AS (SELECT p.qid, p.c, p.doc_id, "
+        "CAST(sum(p.best) AS BIGINT) AS s, count(p.best) AS m "
+        "FROM per_tok p GROUP BY 1, 2, 3)"
+        + ", mt AS (SELECT v.* FROM vsc v JOIN qmeta USING (qid) "
+        "WHERE v.m = qmeta.n_tokens)"
+        + f", nar AS (SELECT f.* FROM mt f JOIN documents d USING (doc_id) WHERE {filt})"
+        + ", cnt AS (SELECT qid, c, count(*) AS n FROM nar GROUP BY 1, 2)"
+        + ", maxc AS (SELECT qid, max(cost) AS mc FROM bcand GROUP BY 1)"
+        + ", chosen AS (SELECT x.qid, coalesce(min(CASE WHEN cnt.c < x.mc "
+        f"AND cnt.n >= {thr} THEN cnt.c END), x.mc) AS lvl "
+        "FROM maxc x LEFT JOIN cnt ON cnt.qid = x.qid GROUP BY x.qid, x.mc)"
+        + ", fin AS (SELECT f.qid, f.doc_id, f.s AS score_milli FROM ("
+        "SELECT mt.* FROM mt JOIN chosen ch ON ch.qid = mt.qid AND mt.c = ch.lvl"
+        f") f JOIN documents d USING (doc_id) WHERE {filt})"
+        + " SELECT qid, CAST(rn AS BIGINT) AS rank, doc_id, score_milli FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY qid "
+        "ORDER BY score_milli DESC, doc_id DESC) AS rn FROM fin) "
+        f"WHERE rn <= {k} ORDER BY qid, rank"
+    )
+
+
 def q_batch_queries(spark, sf_dir):
     """Set-oriented multi-query search: 8 queries in ONE Spark job
     (the Spark-idiomatic answer to the reference's concurrent-qps
@@ -1155,6 +1253,7 @@ QUERIES = {
     "batch_filtered": q_batch_filtered,
     "batch_facets": q_batch_facets,
     "batch_grouped": q_batch_grouped,
+    "batch_deepen": q_batch_deepen,
     "unicode_tokens": q_unicode_tokens,
 }
 
@@ -1589,6 +1688,7 @@ def build_oracles() -> dict[str, str]:
     o["batch_filtered"] = batch_filtered_oracle()
     o["batch_facets"] = batch_facets_oracle()
     o["batch_grouped"] = batch_grouped_oracle()
+    o["batch_deepen"] = batch_deepen_oracle()
     o["unicode_tokens"] = unicode_tokens_oracle()
     o["events_window"] = (
         # floor() before the cast: DuckDB's epoch() keeps fractional

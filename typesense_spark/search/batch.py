@@ -38,10 +38,19 @@ flow lifts into set-oriented form:
 - '-token' exclusions anti-join per (qid, doc) pairs built from one
   decode of the union of excluded terms.
 
-Remaining per-query-only features (documented): typo deepening
-(``typo_tokens_threshold`` — its stop rule needs filtered counts per
-cost level), curation/overrides, facets, grouping, proximity re-rank,
-and WAND. Those requests run through ``engine.search``.
+Typo deepening (``typo_tokens_threshold``) lifts too: the engine's
+per-attempt cost-level probe loop becomes ONE conditional aggregation
+(each level's score/match-count as extra aggregate columns — no row
+explosion) plus a tiny per-(vector, level) count relation that picks
+each vector's stop level; the probe counts are NARROWED (per-query
+excludes + filters applied) exactly like ``engine._narrowed_count``.
+Facets (:func:`batch_facet_counts`) and grouping (:func:`batch_grouped`)
+ride the same matched-set pipeline.
+
+Remaining per-query-only features (documented): curation/overrides,
+proximity re-rank, and WAND (a top-k pruning strategy — the batch plan
+amortizes the full scan across the whole query set instead). Those
+requests run through ``engine.search``.
 """
 
 from __future__ import annotations
@@ -140,6 +149,7 @@ def _batch_matched(
     synonym_store: object | None = None,
     drop_tokens_threshold: int | None = None,
     filters: dict[str, str] | None = None,
+    typo_tokens_threshold: int | None = None,
 ) -> DataFrame:
     """The shared batch pipeline up to the per-query MATCHED set:
     (qid, doc_id, score_milli), one row per matching doc per query —
@@ -183,40 +193,101 @@ def _batch_matched(
     if not specs:
         return spark.createDataFrame([], schema=_MATCHED_SCHEMA)
     cand_map = _expand_specs(index, specs, fields, num_typos, typo_distance)
+    alt_of: dict[tuple[str, bool], list[str]] = {}
     if synonyms:
         # single-token alternates join the token's candidate set at cost
         # 0 (engine.search does the same per attempt); alternates absent
         # from the dictionary were filtered by their own (alt, False)
         # expansion above, so parity with the engine's driver path holds
-        # on the Spark-expand path too
-        for (tok, pref), cands in list(cand_map.items()):
-            alts = synonyms.get(tok)
-            if not alts:
-                continue
-            extra = [(a, 0) for a in alts if cand_map.get((a, False))]
-            cand_map[(tok, pref)] = sorted(dict(cands + extra).items())
+        # on the Spark-expand path too. They stay FLAGGED (is_alt=1):
+        # the engine appends alternates AFTER the typo-deepening stop
+        # decision, so the deepening probe must count organic candidates
+        # only.
+        for spec in list(cand_map):
+            alts = synonyms.get(spec[0])
+            if alts:
+                alt_of[spec] = sorted({a for a in alts if cand_map.get((a, False))})
 
     # ---- candidate rows: one row per (vector, token-slot, candidate) ------
-    rows: list[tuple[int, str, int, int, str, int]] = []
+    rows: list[tuple[int, str, int, int, str, int, int, int]] = []
+    max_cost: dict[int, int] = {}
     for v, qid, aidx, toks in vectors:
+        vspecs = [
+            (tok, prefix_last and i == len(toks) - 1) for i, tok in enumerate(toks)
+        ]
         cands = [
-            cand_map[(tok, prefix_last and i == len(toks) - 1)]
-            for i, tok in enumerate(toks)
+            [(t, c, 0) for t, c in cand_map[s]]
+            + [(a, 0, 1) for a in alt_of.get(s, [])]
+            for s in vspecs
         ]
         if mode == "and" and any(not c for c in cands):
             continue  # unsatisfiable AND vector → contributes nothing
         for i, cand in enumerate(cands):
-            for t, _c in cand:
-                rows.append((v, qid, aidx, i, t, len(toks)))
+            for t, c, alt in cand:
+                rows.append((v, qid, aidx, i, t, len(toks), c, alt))
+                if not alt:
+                    max_cost[v] = max(max_cost.get(v, 0), c)
     if not rows:
         return spark.createDataFrame([], schema=_MATCHED_SCHEMA)
     cmap = spark.createDataFrame(
-        rows, schema="vec_id int, qid string, aidx int, qidx int, term string, n_tokens int"
+        rows,
+        schema="vec_id int, qid string, aidx int, qidx int, term string, "
+        "n_tokens int, cost int, is_alt int",
     )
     decoded = index.decoded(sorted({r[4] for r in rows}), list(fields))
     joined = decoded.join(F.broadcast(cmap), "term")
 
+    # ---- per-(qid, doc) narrowing relations, built ONCE --------------------
+    # used by the typo-deepening probe (the engine counts NARROWED
+    # results — excludes + filters applied, engine._narrowed_count) and
+    # by the final post-merge application below
+    ex_docs = None
+    if excl_rows:
+        emap = spark.createDataFrame(
+            sorted(set(excl_rows)), schema="qid string, term string"
+        )
+        ex_docs = (
+            index.decoded(sorted({t for _, t in excl_rows}), list(fields))
+            .join(F.broadcast(emap), "term")
+            .select("qid", "doc_id")
+            .distinct()
+        )
+    qf = keep = None
+    if filters:
+        # each DISTINCT filter_by string becomes ONE keep relation
+        # (plain Catalyst predicate over docs — pushdown applies); qids
+        # map to their filter id via a broadcast table, so the whole
+        # batch costs one scan per DISTINCT filter + one semi-join
+        from typesense_spark.search.filters import apply_filter_by
+
+        distinct = sorted({f for f in filters.values()})
+        fid_of = {f: i for i, f in enumerate(distinct)}
+        for f, fid in fid_of.items():
+            part = apply_filter_by(index.docs, f).select(
+                F.lit(fid).alias("fid"), "doc_id"
+            )
+            keep = part if keep is None else keep.unionByName(part)
+        qf = spark.createDataFrame(
+            [(qid, fid_of[f]) for qid, f in sorted(filters.items())],
+            schema="qid string, fid int",
+        )
+
+    def _narrow(df: DataFrame) -> DataFrame:
+        """Per-(qid, doc) excludes + per-qid attribute filters (queries
+        without a filter pass through untouched)."""
+        if ex_docs is not None:
+            df = df.join(ex_docs, ["qid", "doc_id"], "left_anti")
+        if qf is not None:
+            filtered = (
+                df.join(F.broadcast(qf), "qid")
+                .join(keep, ["fid", "doc_id"], "left_semi")
+                .drop("fid")
+            )
+            df = filtered.unionByName(df.join(F.broadcast(qf), "qid", "left_anti"))
+        return df
+
     # ---- per-vector scoring (engine._score_tokens, keyed by vec_id) -------
+    wmap = None
     if query_by_weights:
         wmap = F.create_map(
             *[
@@ -225,27 +296,142 @@ def _batch_matched(
                 for x in (F.lit(f), F.lit(int(w)))
             ]
         )
-        per_ft = joined.groupBy(
-            "vec_id", "qid", "aidx", "n_tokens", "doc_id", "field", "qidx"
-        ).agg(F.max("contrib").alias("best"))
-        scored = (
-            per_ft.withColumn("ws", F.element_at(wmap, F.col("field")) * F.col("best"))
-            .groupBy("vec_id", "qid", "aidx", "n_tokens", "doc_id")
-            .agg(
-                F.sum("ws").alias("score_milli"),
-                F.countDistinct("qidx").alias("nmatch"),
+    deepen = (
+        typo_tokens_threshold is not None
+        and num_typos > 0
+        and any(max_cost.values())
+    )
+    if not deepen:
+        if query_by_weights:
+            per_ft = joined.groupBy(
+                "vec_id", "qid", "aidx", "n_tokens", "doc_id", "field", "qidx"
+            ).agg(F.max("contrib").alias("best"))
+            scored = (
+                per_ft.withColumn(
+                    "ws", F.element_at(wmap, F.col("field")) * F.col("best")
+                )
+                .groupBy("vec_id", "qid", "aidx", "n_tokens", "doc_id")
+                .agg(
+                    F.sum("ws").alias("score_milli"),
+                    F.countDistinct("qidx").alias("nmatch"),
+                )
             )
-        )
+        else:
+            per_tok = joined.groupBy(
+                "vec_id", "qid", "aidx", "n_tokens", "doc_id", "qidx"
+            ).agg(F.max("contrib").alias("tok_score"))
+            scored = per_tok.groupBy(
+                "vec_id", "qid", "aidx", "n_tokens", "doc_id"
+            ).agg(
+                F.sum("tok_score").alias("score_milli"), F.count("*").alias("nmatch")
+            )
+        if mode == "and":
+            scored = scored.where(F.col("nmatch") == F.col("n_tokens"))
+        scored = scored.select("qid", "aidx", "doc_id", "score_milli")
     else:
-        per_tok = joined.groupBy(
-            "vec_id", "qid", "aidx", "n_tokens", "doc_id", "qidx"
-        ).agg(F.max("contrib").alias("tok_score"))
-        scored = per_tok.groupBy("vec_id", "qid", "aidx", "n_tokens", "doc_id").agg(
-            F.sum("tok_score").alias("score_milli"), F.count("*").alias("nmatch")
+        # ---- typo deepening (Q4 in batch) ----------------------------------
+        # the engine probes cost levels 0..max_cost-1 per attempt and
+        # stops at the first level whose NARROWED result count reaches
+        # typo_tokens_threshold (reference stops enumerating costlier
+        # suggestions once results reach the threshold,
+        # src/index.cpp:947-950). Lifted set-oriented: every level's
+        # (score, match-count) is a conditional aggregate column over
+        # the SAME rows (no row explosion — 3(L+1) extra columns for
+        # L=num_typos ≤ 2), a tiny per-(vector, level) count relation
+        # picks each vector's stop level, and one broadcast join selects
+        # that level's score. `om{c}` counts ORGANIC candidates only
+        # (the engine appends synonym alternates after the stop
+        # decision); `m{c}`/`s{c}` include them, like the engine's final
+        # rescore.
+        levels = list(range(num_typos + 1))
+
+        def _best(c: int, organic: bool):
+            cond = F.col("cost") <= F.lit(c)
+            if organic:
+                cond = cond & (F.col("is_alt") == 0)
+            return F.max(F.when(cond, F.col("contrib")))
+
+        gk = ["vec_id", "qid", "aidx", "n_tokens", "doc_id"]
+        if query_by_weights:
+            per_ft = joined.groupBy(*gk, "field", "qidx").agg(
+                *[_best(c, False).alias(f"ab{c}") for c in levels],
+                *[_best(c, True).alias(f"ob{c}") for c in levels],
+            )
+            wcol = F.element_at(wmap, F.col("field"))
+            scored_lv = per_ft.groupBy(*gk).agg(
+                *[F.sum(wcol * F.col(f"ab{c}")).alias(f"s{c}") for c in levels],
+                *[
+                    F.countDistinct(
+                        F.when(F.col(f"ab{c}").isNotNull(), F.col("qidx"))
+                    ).alias(f"m{c}")
+                    for c in levels
+                ],
+                *[
+                    F.countDistinct(
+                        F.when(F.col(f"ob{c}").isNotNull(), F.col("qidx"))
+                    ).alias(f"om{c}")
+                    for c in levels
+                ],
+            )
+        else:
+            per_tok = joined.groupBy(*gk, "qidx").agg(
+                *[_best(c, False).alias(f"ab{c}") for c in levels],
+                *[_best(c, True).alias(f"ob{c}") for c in levels],
+            )
+            scored_lv = per_tok.groupBy(*gk).agg(
+                *[F.sum(f"ab{c}").alias(f"s{c}") for c in levels],
+                *[F.count(f"ab{c}").alias(f"m{c}") for c in levels],
+                *[F.count(f"ob{c}").alias(f"om{c}") for c in levels],
+            )
+
+        def _matched(col: str):
+            return (
+                F.col(col) == F.col("n_tokens")
+                if mode == "and"
+                else F.col(col) >= 1
+            )
+
+        thr = int(typo_tokens_threshold)
+        cnt = _narrow(scored_lv).groupBy("vec_id").agg(
+            *[F.sum(_matched(f"om{c}").cast("int")).alias(f"n{c}") for c in levels]
         )
-    if mode == "and":
-        scored = scored.where(F.col("nmatch") == F.col("n_tokens"))
-    scored = scored.select("qid", "aidx", "doc_id", "score_milli")
+        mc_df = spark.createDataFrame(
+            sorted((v, max_cost.get(v, 0)) for v in {r[0] for r in rows}),
+            schema="vec_id int, maxc int",
+        )
+        chosen = mc_df.join(cnt, "vec_id", "left").select(
+            "vec_id",
+            F.coalesce(
+                *[
+                    F.when(
+                        (F.lit(c) < F.col("maxc")) & (F.col(f"n{c}") >= thr),
+                        F.lit(c),
+                    )
+                    for c in levels[:-1]
+                ],
+                F.col("maxc"),
+            ).alias("lvl"),
+        )
+
+        def _at_lvl(prefix: str):
+            return F.coalesce(
+                *[
+                    F.when(F.col("lvl") == c, F.col(f"{prefix}{c}"))
+                    for c in levels
+                ]
+            )
+
+        scored = (
+            scored_lv.join(F.broadcast(chosen), "vec_id")
+            .withColumn("score_milli", _at_lvl("s"))
+            .withColumn("mm", _at_lvl("m"))
+            .where(
+                (F.col("mm") == F.col("n_tokens"))
+                if mode == "and"
+                else (F.col("mm") >= 1)
+            )
+            .select("qid", "aidx", "doc_id", "score_milli")
+        )
 
     # ---- drop-tokens cutoff (organic vectors only) -------------------------
     multi_attempt = any(
@@ -277,48 +463,9 @@ def _batch_matched(
     merged = scored.groupBy("qid", "doc_id").agg(
         F.max("score_milli").alias("score_milli")
     )
-
-    # ---- per-query attribute filters (Q9 in batch) -------------------------
-    # each distinct filter_by string becomes ONE keep relation (plain
-    # Catalyst predicate over docs — pushdown applies); qids map to
-    # their filter id via a broadcast table, so the whole batch costs
-    # one scan per DISTINCT filter + one semi-join
-    if filters:
-        from typesense_spark.search.filters import apply_filter_by
-
-        distinct = sorted({f for f in filters.values()})
-        fid_of = {f: i for i, f in enumerate(distinct)}
-        keep = None
-        for f, fid in fid_of.items():
-            part = apply_filter_by(index.docs, f).select(
-                F.lit(fid).alias("fid"), "doc_id"
-            )
-            keep = part if keep is None else keep.unionByName(part)
-        qf = spark.createDataFrame(
-            [(qid, fid_of[f]) for qid, f in sorted(filters.items())],
-            schema="qid string, fid int",
-        )
-        filtered = (
-            merged.join(F.broadcast(qf), "qid")
-            .join(keep, ["fid", "doc_id"], "left_semi")
-            .drop("fid")
-        )
-        unfiltered = merged.join(F.broadcast(qf), "qid", "left_anti")
-        merged = filtered.unionByName(unfiltered)
-
-    # ---- exclusions: per-(qid, doc) anti-join ------------------------------
-    if excl_rows:
-        emap = spark.createDataFrame(
-            sorted(set(excl_rows)), schema="qid string, term string"
-        )
-        ex_docs = (
-            index.decoded(sorted({t for _, t in excl_rows}), list(fields))
-            .join(F.broadcast(emap), "term")
-            .select("qid", "doc_id")
-            .distinct()
-        )
-        merged = merged.join(ex_docs, ["qid", "doc_id"], "left_anti")
-    return merged
+    # per-query attribute filters (Q9 in batch) + '-token' exclusions,
+    # via the narrowing relations built above
+    return _narrow(merged)
 
 
 def batch_search(
@@ -335,6 +482,7 @@ def batch_search(
     synonym_store: object | None = None,
     drop_tokens_threshold: int | None = None,
     filters: dict[str, str] | None = None,
+    typo_tokens_threshold: int | None = None,
 ) -> DataFrame:
     """[(qid, q)] → (qid, rank, doc_id, score_milli), rank ≤ k per qid.
 
@@ -346,11 +494,13 @@ def batch_search(
     parsed from each query string, and per-query attribute filters
     (``filters``: {qid: filter_by DSL} — each DISTINCT filter string
     compiles to one Catalyst predicate over the docs table; N queries
-    sharing F filters cost F doc scans, not N)."""
+    sharing F filters cost F doc scans, not N), and typo deepening
+    (``typo_tokens_threshold`` — per-vector cost-level stop rule with
+    narrowed probe counts, see module docstring)."""
     merged = _batch_matched(
         index, queries, fields, num_typos, prefix_last, mode, typo_distance,
         query_by_weights, synonyms, synonym_store, drop_tokens_threshold,
-        filters,
+        filters, typo_tokens_threshold,
     )
     # ---- per-query top-k ----------------------------------------------------
     w = Window.partitionBy("qid").orderBy(
