@@ -241,3 +241,85 @@ def test_grouped_override_store_keeps_group_limit_claimants():
     assert pinned == {6: 1, 8: 1, 1: 2}
     pinned_u, _ = store.resolve("q")  # ungrouped default: first only
     assert pinned_u == {6: 1, 1: 2}
+
+
+def test_batch_curated_matches_engine(built_index):
+    """Q20 in batch mode: rules resolve per query, hidden docs narrow
+    the matched set, pins splice positionally — parity with
+    engine.search query by query (including the curated flag)."""
+    from typesense_spark.search import OverrideRule, OverrideStore, SearchRequest, search
+    from typesense_spark.search.batch import batch_curated
+
+    base = search(
+        built_index,
+        SearchRequest(q="import return", fields=("content",), num_typos=0,
+                      drop_tokens_threshold=0),
+    )
+    organics = [r["doc_id"] for r in base.hits.collect()]
+    d1, d2, d3 = organics[0], organics[3], organics[5]
+    store = OverrideStore([
+        # exact rule: pin a non-matching doc to pos 2, drop an organic hit
+        OverrideRule("a-pin", "import return", "exact",
+                     add_hits=((999_999, 2),), drop_hits=(d2,)),
+        # collision: second rule wants a different doc at pos 2 → loser
+        # ranks organically (first claimant wins, rule-id order)
+        OverrideRule("b-collide", "import return", "exact",
+                     add_hits=((d1, 2),)),
+        # contains rule firing on a different query
+        OverrideRule("c-sub", "class", "contains", add_hits=((d3, 1),)),
+    ])
+    qset = [
+        ("a", "import return"),   # both exact rules fire
+        ("b", "class zzznope"),   # contains rule + drop-tokens off → class only
+        ("c", "import"),          # no rule fires
+    ]
+    kw = dict(fields=("content",), num_typos=0, drop_tokens_threshold=0)
+    out = batch_curated(built_index, qset, k=5, override_store=store, **kw)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["qid"], []).append(
+            (r["rank"], r["doc_id"], r["score_milli"], r["curated"])
+        )
+    for qid, q in qset:
+        res = search(
+            built_index,
+            SearchRequest(q=q, per_page=5, override_store=store, **kw),
+        )
+        rows = res.hits.collect()
+        if "curated" in res.hits.columns:
+            want = [(r["rank"], r["doc_id"], r["score_milli"], r["curated"]) for r in rows]
+        else:
+            want = [(r["rank"], r["doc_id"], r["score_milli"], False) for r in rows]
+        assert sorted(got.get(qid, [])) == sorted(want), (qid, got.get(qid), want)
+
+
+def test_batch_curated_hidden_narrows_deepening_probe(spark):
+    """Hidden docs must be excluded from the typo-deepening probe count
+    in batch mode, like engine._narrowed_count: hiding most cost-1 hits
+    forces the query to deepen."""
+    from typesense_spark.index import build_index
+    from typesense_spark.search import SearchRequest, search
+    from typesense_spark.search.batch import batch_curated
+
+    rows = [(i, "aab common filler", "en") for i in range(8)]
+    rows += [(100 + i, "aacc rare py", "py") for i in range(3)]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string, lang string")
+    ix = build_index(spark, df, fields=["text"], id_col="doc_id", num_buckets=2)
+    hid = tuple(range(6))  # hide 6 of the 8 cost-1 docs → 2 < thr=5
+    kw = dict(fields=("text",), num_typos=2, prefix_last=False,
+              typo_tokens_threshold=5)
+    out = batch_curated(
+        ix, [("h", "aaa"), ("u", "aaa")], k=10, hidden={"h": hid}, **kw
+    )
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["qid"], set()).add(r["doc_id"])
+    assert {100, 101, 102} <= got["h"]          # deepened under hidden
+    assert got["u"].isdisjoint({100, 101, 102})  # un-hidden stops at cost 1
+    for qid, h in (("h", hid), ("u", ())):
+        res = search(
+            ix,
+            SearchRequest(q="aaa", per_page=10, hidden=h,
+                          drop_tokens_threshold=0, **kw),
+        )
+        assert got.get(qid, set()) == {r["doc_id"] for r in res.hits.collect()}, qid

@@ -1188,6 +1188,111 @@ def batch_deepen_oracle() -> str:
     )
 
 
+# curation/overrides in batch mode (Q20 × batch): an exact rule pinning
+# a doc + dropping two, a position COLLISION (second rule's claim on an
+# occupied slot loses — the loser ranks organically,
+# test/collection_override_test.cpp:472-489), and a contains rule firing
+# on a different query; c3 has no firing rule. Rule resolution is pure
+# driver-side string matching in BOTH implementations (the reference's
+# populate_overrides is a std::map walk, src/collection.cpp:427-493);
+# everything dynamic — scoring, ranking, the hidden narrowing, winner
+# score lookup — recomputes independently in SQL.
+BATCH_CURATED_QUERIES = [
+    ("c1", "merge batch"),
+    ("c2", "window"),
+    ("c3", "scan"),
+]
+BATCH_CURATED_K = 8
+
+
+def _batch_curated_store():
+    from typesense_spark.search.curation import OverrideRule, OverrideStore
+
+    return OverrideStore([
+        OverrideRule("a-pin", "merge batch", "exact",
+                     add_hits=((3, 2), (5, 6)), drop_hits=(7, 11)),
+        OverrideRule("b-collide", "merge batch", "exact",
+                     add_hits=((9, 2),)),  # slot 2 taken → 9 ranks organically
+        OverrideRule("c-sub", "window", "contains", add_hits=((2, 1),)),
+    ])
+
+
+def q_batch_curated(spark, sf_dir):
+    """Q20 × batch: per-query override resolution + hidden narrowing +
+    positional splice for a whole batch — scoring/ranking in ONE Spark
+    plan, splice over the collected per-query page (search/batch.py
+    batch_curated)."""
+    from typesense_spark.search.batch import batch_curated
+
+    return batch_curated(
+        get_index(spark, sf_dir), BATCH_CURATED_QUERIES, k=BATCH_CURATED_K,
+        override_store=_batch_curated_store(), fields=("text",),
+        num_typos=0, prefix_last=False,
+    ).orderBy("qid", "rank")
+
+
+def batch_curated_oracle() -> str:
+    """DuckDB mirror: resolved pins/hides are the static rewrite
+    structure (VALUES); organic ranks map to splice slots via a static
+    slot table (winner positions are known); winner scores come from
+    the ranked matched set capped at k + n_winners — exactly the page
+    slice the engine collects."""
+    from typesense_spark.tokenizer import tokenize_terms
+
+    store = _batch_curated_store()
+    k = BATCH_CURATED_K
+    qvals, win_vals, hid_vals, slot_vals = [], [], [], []
+    for qid, q in BATCH_CURATED_QUERIES:
+        toks = tokenize_terms(q)
+        for i, t in enumerate(toks):
+            qvals.append(f"('{qid}', {i}, '{t}', {len(toks)})")
+        pins, hides = store.resolve(q)
+        by_pos: dict[int, int] = {}
+        for d, p in pins.items():
+            if p not in by_pos:
+                by_pos[p] = d
+        lim = k + len(by_pos)
+        for p, d in sorted(by_pos.items()):
+            if p <= k:
+                win_vals.append(f"('{qid}', {p}, {d}, {lim})")
+        for d in hides:
+            hid_vals.append(f"('{qid}', {d})")
+        organic_slots = [s for s in range(1, k + 1) if s not in by_pos]
+        for rn, slot in enumerate(organic_slots, start=1):
+            slot_vals.append(f"('{qid}', {rn}, {slot})")
+    win_sql = ", ".join(win_vals) or "('__none__', 0, -1, 0)"
+    hid_sql = ", ".join(hid_vals) or "('__none__', -1)"
+    return (
+        _PRELUDE
+        + f", qset(qid, qidx, term, n_tokens) AS (VALUES {', '.join(qvals)})"
+        + f", win(qid, pos, doc_id, lim) AS (VALUES {win_sql})"
+        + f", hid(qid, doc_id) AS (VALUES {hid_sql})"
+        + f", slotmap(qid, rn, slot) AS (VALUES {', '.join(slot_vals)})"
+        + ", per_tok AS (SELECT qset.qid, qset.n_tokens, contrib.doc_id, qset.qidx, "
+        "max(contrib.c) AS best FROM contrib JOIN qset USING (term) GROUP BY 1, 2, 3, 4)"
+        + ", scored AS (SELECT qid, doc_id, CAST(sum(best) AS BIGINT) AS s FROM per_tok "
+        "GROUP BY qid, n_tokens, doc_id HAVING count(*) = n_tokens)"
+        + ", nar AS (SELECT sc.* FROM scored sc ANTI JOIN hid "
+        "ON hid.qid = sc.qid AND hid.doc_id = sc.doc_id)"
+        + ", rnk_all AS (SELECT *, row_number() OVER (PARTITION BY qid "
+        "ORDER BY s DESC, doc_id DESC) AS rn FROM nar)"
+        + ", rnk_org AS (SELECT *, row_number() OVER (PARTITION BY qid "
+        "ORDER BY s DESC, doc_id DESC) AS rn FROM ("
+        "SELECT n.* FROM nar n ANTI JOIN win w "
+        "ON w.qid = n.qid AND w.doc_id = n.doc_id))"
+        + ", organic AS (SELECT r.qid, sm.slot AS rank, r.doc_id, "
+        "r.s AS score_milli, FALSE AS curated FROM rnk_org r "
+        "JOIN slotmap sm ON sm.qid = r.qid AND sm.rn = r.rn)"
+        + ", pinsc AS (SELECT w.qid, w.pos AS rank, w.doc_id, "
+        "CAST(coalesce(max(CASE WHEN r.rn <= w.lim THEN r.s END), 0) AS BIGINT) "
+        "AS score_milli, TRUE AS curated FROM win w LEFT JOIN rnk_all r "
+        "ON r.qid = w.qid AND r.doc_id = w.doc_id GROUP BY 1, 2, 3)"
+        + " SELECT qid, CAST(rank AS INT) AS rank, doc_id, score_milli, curated "
+        "FROM (SELECT * FROM organic UNION ALL SELECT * FROM pinsc) "
+        "WHERE qid <> '__none__' ORDER BY qid, rank"
+    )
+
+
 def q_batch_queries(spark, sf_dir):
     """Set-oriented multi-query search: 8 queries in ONE Spark job
     (the Spark-idiomatic answer to the reference's concurrent-qps
@@ -1254,6 +1359,7 @@ QUERIES = {
     "batch_facets": q_batch_facets,
     "batch_grouped": q_batch_grouped,
     "batch_deepen": q_batch_deepen,
+    "batch_curated": q_batch_curated,
     "unicode_tokens": q_unicode_tokens,
 }
 
@@ -1689,6 +1795,7 @@ def build_oracles() -> dict[str, str]:
     o["batch_facets"] = batch_facets_oracle()
     o["batch_grouped"] = batch_grouped_oracle()
     o["batch_deepen"] = batch_deepen_oracle()
+    o["batch_curated"] = batch_curated_oracle()
     o["unicode_tokens"] = unicode_tokens_oracle()
     o["events_window"] = (
         # floor() before the cast: DuckDB's epoch() keeps fractional

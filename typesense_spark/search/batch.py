@@ -47,10 +47,15 @@ excludes + filters applied) exactly like ``engine._narrowed_count``.
 Facets (:func:`batch_facet_counts`) and grouping (:func:`batch_grouped`)
 ride the same matched-set pipeline.
 
-Remaining per-query-only features (documented): curation/overrides,
-proximity re-rank, and WAND (a top-k pruning strategy — the batch plan
-amortizes the full scan across the whole query set instead). Those
-requests run through ``engine.search``.
+Curation/overrides lift via :func:`batch_curated`: rules resolve per
+query driver-side (pure string matching, like the reference's
+populate_overrides), hidden docs join the narrowing relation, and the
+positional splice runs over ONE collected per-query page.
+
+Remaining per-query-only features (documented): proximity re-rank, and
+WAND (a top-k pruning strategy — the batch plan amortizes the full
+scan across the whole query set instead). Those requests run through
+``engine.search``.
 """
 
 from __future__ import annotations
@@ -150,6 +155,7 @@ def _batch_matched(
     drop_tokens_threshold: int | None = None,
     filters: dict[str, str] | None = None,
     typo_tokens_threshold: int | None = None,
+    hidden: dict[str, tuple[int, ...]] | None = None,
 ) -> DataFrame:
     """The shared batch pipeline up to the per-query MATCHED set:
     (qid, doc_id, score_milli), one row per matching doc per query —
@@ -272,11 +278,23 @@ def _batch_matched(
             schema="qid string, fid int",
         )
 
+    hid_pairs = None
+    if hidden and any(hidden.values()):
+        # Q20 hidden hits in batch: per-(qid, doc) pairs, excluded
+        # before ranking/facets AND inside the deepening probe — the
+        # engine's _narrowed_count applies hidden the same way
+        hid_pairs = spark.createDataFrame(
+            sorted({(q, int(d)) for q, ds in hidden.items() for d in ds}),
+            schema="qid string, doc_id long",
+        )
+
     def _narrow(df: DataFrame) -> DataFrame:
-        """Per-(qid, doc) excludes + per-qid attribute filters (queries
-        without a filter pass through untouched)."""
+        """Per-(qid, doc) excludes + hidden + per-qid attribute filters
+        (queries without a filter pass through untouched)."""
         if ex_docs is not None:
             df = df.join(ex_docs, ["qid", "doc_id"], "left_anti")
+        if hid_pairs is not None:
+            df = df.join(F.broadcast(hid_pairs), ["qid", "doc_id"], "left_anti")
         if qf is not None:
             filtered = (
                 df.join(F.broadcast(qf), "qid")
@@ -510,6 +528,92 @@ def batch_search(
         merged.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select("qid", "rank", "doc_id", "score_milli")
+    )
+
+
+def batch_curated(
+    index: Index,
+    queries: list[tuple[str, str]],
+    k: int = 10,
+    override_store: object | None = None,
+    pinned: dict[str, dict[int, int]] | None = None,
+    hidden: dict[str, tuple[int, ...]] | None = None,
+    **kw,
+) -> DataFrame:
+    """Per-query curation/overrides (the engine's Q20, batched):
+    (qid, rank, doc_id, score_milli, curated), rank ≤ k per qid.
+
+    Stored override rules resolve per query DRIVER-SIDE (string match
+    over an O(rules) dict — no Spark job, same as the engine and the
+    reference's populate_overrides, src/collection.cpp:427-493);
+    resolved hidden docs join the batch narrowing relation (excluded
+    before ranking AND inside the typo-deepening probe), and the heavy
+    part — scoring + ranking every query — stays ONE Spark plan. The
+    positional splice is the engine's exact loop (first claimant per
+    position wins; a pin past the organic tail appends in position
+    order, src/collection.cpp:897-922) over the collected per-query
+    top (k + n_pins) page — O(N·k) driver rows for an N-query batch,
+    the same driver-scale materialization the engine's per-query splice
+    does once.
+
+    ``pinned``: {qid: {doc_id: 1-based position}} explicit pins (win
+    over rule adds, like the engine); ``hidden``: {qid: (doc_ids...)}.
+    Accepts every :func:`batch_search` keyword."""
+    res_pin: dict[str, dict[int, int]] = {}
+    res_hid: dict[str, tuple[int, ...]] = {}
+    for qid, q in queries:
+        p = dict((pinned or {}).get(qid, {}))
+        h = tuple((hidden or {}).get(qid, ()))
+        if override_store is not None:
+            p, h = override_store.resolve(q, p, h, ids_per_pos=1)
+        res_pin[qid], res_hid[qid] = p, h
+    merged = _batch_matched(index, queries, hidden=res_hid, **kw)
+
+    # one ranking job for the whole batch: per qid keep the top
+    # (k + n_pins) rows — exactly the slice the engine collects
+    max_pins = max((len(p) for p in res_pin.values()), default=0)
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score_milli").desc(), F.col("doc_id").desc()
+    )
+    page = (
+        merged.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k + max_pins)
+        .collect()
+    )
+    by_qid: dict[str, list] = {}
+    for r in page:
+        by_qid.setdefault(r["qid"], []).append(r)
+    out_rows: list[tuple[str, int, int, int, bool]] = []
+    for qid, _q in queries:
+        rows = sorted(by_qid.get(qid, []), key=lambda r: r["rn"])
+        # first claimant per position wins (ids_per_pos=1 ungrouped);
+        # raw pinned dicts get the same rule (insertion order = claim)
+        by_pos: dict[int, int] = {}
+        for d, p in res_pin[qid].items():
+            if p not in by_pos:
+                by_pos[p] = d
+        winners = set(by_pos.values())
+        scores = {r["doc_id"]: r["score_milli"] for r in rows[: k + len(winners)]}
+        queue = [
+            r["doc_id"]
+            for r in rows[: k + len(winners)]
+            if r["doc_id"] not in winners
+        ]
+        pos = 1
+        n_out = 0
+        while n_out < k and (queue or by_pos):
+            if pos in by_pos:
+                d, curated = by_pos.pop(pos), True
+            elif queue:
+                d, curated = queue.pop(0), False
+            else:
+                d, curated = by_pos.pop(min(by_pos)), True
+            out_rows.append((qid, pos, int(d), int(scores.get(d, 0)), curated))
+            pos += 1
+            n_out += 1
+    return index.spark.createDataFrame(
+        out_rows,
+        schema="qid string, rank int, doc_id long, score_milli long, curated boolean",
     )
 
 

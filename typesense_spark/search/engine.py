@@ -695,6 +695,15 @@ def search(index: Index, req: SearchRequest) -> SearchResult:
                 )
             )
             attempts.append(attempt)
+            if scored is None:
+                # unsatisfiable attempt (a token with zero candidates):
+                # 0 results still only falls through to the next attempt
+                # when the threshold allows it — the reference's rule is
+                # `results < drop_tokens_threshold` (src/index.cpp:1757),
+                # so threshold ≤ 0 NEVER drops tokens, even from zero
+                if req.drop_tokens_threshold <= 0:
+                    break
+                continue
             if scored is not None:
                 matched = _merge(matched, scored)
                 if attempt is plan[-1] or req.drop_tokens_threshold <= 0:
