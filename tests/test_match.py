@@ -218,3 +218,34 @@ def test_decode_positions_df_matches_unpack_block(built_index):
         for d, p in zip(ids, poss):
             exp.append((int(d), tuple(int(x) for x in p)))
     assert got == sorted(exp)
+
+
+def test_batch_rerank_proximity_matches_engine(built_index):
+    """Q11 × batch: one union decode pass, per-query Match-score
+    ordering — parity with engine.search(rerank_proximity=True) query
+    by query (rank, doc_id, score_milli)."""
+    from typesense_spark.search import SearchRequest, search
+    from typesense_spark.search.batch import batch_rerank_proximity
+
+    qset = [
+        ("a", "import return"),
+        ("b", "merge0 window0"),
+        ("c", "class"),
+        ("d", "import return class"),
+    ]
+    kw = dict(fields=("content",), num_typos=0, drop_tokens_threshold=0)
+    out = batch_rerank_proximity(built_index, qset, k=8, **kw)
+    by_qid = {}
+    for r in out.collect():
+        by_qid.setdefault(r["qid"], []).append(
+            (r["rank"], r["doc_id"], r["score_milli"])
+        )
+    for qid, q in qset:
+        res = search(
+            built_index,
+            SearchRequest(q=q, per_page=8, rerank_proximity=True, **kw),
+        )
+        want = [
+            (r["rank"], r["doc_id"], r["score_milli"]) for r in res.hits.collect()
+        ]
+        assert sorted(by_qid.get(qid, [])) == want, (qid, by_qid.get(qid), want)

@@ -50,12 +50,15 @@ ride the same matched-set pipeline.
 Curation/overrides lift via :func:`batch_curated`: rules resolve per
 query driver-side (pure string matching, like the reference's
 populate_overrides), hidden docs join the narrowing relation, and the
-positional splice runs over ONE collected per-query page.
+positional splice runs over ONE collected per-query page. Proximity
+re-rank lifts via :func:`batch_rerank_proximity` (one union decode
+pass, per-query Match-score ordering).
 
-Remaining per-query-only features (documented): proximity re-rank, and
-WAND (a top-k pruning strategy — the batch plan amortizes the full
-scan across the whole query set instead). Those requests run through
-``engine.search``.
+The one engine feature deliberately NOT in batch mode is WAND: it is a
+top-k PRUNING strategy for a single query's scan, while the batch plan
+amortizes one full scan across the whole query set — pruning per query
+would re-introduce per-query work without reducing the shared scan.
+WAND-flagged requests run through ``engine.search``.
 """
 
 from __future__ import annotations
@@ -156,6 +159,7 @@ def _batch_matched(
     filters: dict[str, str] | None = None,
     typo_tokens_threshold: int | None = None,
     hidden: dict[str, tuple[int, ...]] | None = None,
+    _meta: dict | None = None,
 ) -> DataFrame:
     """The shared batch pipeline up to the per-query MATCHED set:
     (qid, doc_id, score_milli), one row per matching doc per query —
@@ -213,6 +217,23 @@ def _batch_matched(
             alts = synonyms.get(spec[0])
             if alts:
                 alt_of[spec] = sorted({a for a in alts if cand_map.get((a, False))})
+
+    if _meta is not None:
+        # per-qid EXACT terms (a token "in the dictionary" iff its
+        # expansion yielded a cost-0 exact candidate — the engine's
+        # prox_terms rule), consumed by batch_rerank_proximity
+        def _has_exact(tok: str, pref: bool) -> bool:
+            return any(
+                t == tok and c == 0 for t, c in cand_map.get((tok, pref), [])
+            )
+
+        pm: dict[str, set] = {}
+        for _v, qid, _a, toks in vectors:
+            for i, tok in enumerate(toks):
+                pref = prefix_last and i == len(toks) - 1
+                if _has_exact(tok, pref) or _has_exact(tok, not pref):
+                    pm.setdefault(qid, set()).add(tok)
+        _meta["prox_terms"] = {q: sorted(s) for q, s in pm.items()}
 
     # ---- candidate rows: one row per (vector, token-slot, candidate) ------
     rows: list[tuple[int, str, int, int, str, int, int, int]] = []
@@ -526,6 +547,47 @@ def batch_search(
     )
     return (
         merged.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", "score_milli")
+    )
+
+
+def batch_rerank_proximity(
+    index: Index,
+    queries: list[tuple[str, str]],
+    k: int = 10,
+    **kw,
+) -> DataFrame:
+    """Per-query proximity re-rank (the engine's Q11 second stage,
+    batched): (qid, rank, doc_id, score_milli), ordered per qid by the
+    packed Match score DESC, then BM25 DESC, doc_id DESC — the
+    reference's primary relevance key (match_score.h:49-57).
+
+    The heavy second stage — block pruning + position decode — runs
+    ONCE over the union of every query's exact terms
+    (:func:`typesense_spark.search.match.proximity_rescore_batch`)
+    instead of once per query. Accepts every :func:`batch_search`
+    keyword."""
+    from typesense_spark.search.match import proximity_rescore_batch
+
+    meta: dict = {}
+    merged = _batch_matched(index, queries, _meta=meta, **kw)
+    prox = proximity_rescore_batch(
+        index,
+        merged.select("qid", "doc_id"),
+        meta.get("prox_terms", {}),
+        list(kw.get("fields", ("content",))),
+    )
+    ranked = merged.join(prox, ["qid", "doc_id"], "left").withColumn(
+        "match_score", F.coalesce("match_score", F.lit(0)).cast("long")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("match_score").desc(),
+        F.col("score_milli").desc(),
+        F.col("doc_id").desc(),
+    )
+    return (
+        ranked.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select("qid", "rank", "doc_id", "score_milli")
     )

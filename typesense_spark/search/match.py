@@ -238,6 +238,64 @@ def proximity_rescore(index, doc_ids_df, terms: list[str], fields: list[str]):
     return agg.select("doc_id", score_udf(F.col("tps")).alias("match_score"))
 
 
+def proximity_rescore_batch(
+    index, qid_doc_df, terms_by_qid: dict[str, list[str]], fields: list[str]
+):
+    """Batched second-stage proximity re-rank: (qid, doc_id) pairs →
+    (qid, doc_id, match_score), for N queries in ONE decode pass.
+
+    The UNION of every query's exact terms prunes/decodes once
+    (:func:`candidate_blocks` + :func:`decode_positions_df` — the same
+    plan :func:`proximity_rescore` runs for one query); a broadcast
+    (qid, tid) map then fans each decoded (doc, term) row out to the
+    queries that asked for that term, so a doc matched by many queries
+    scores per query over exactly that query's term subset. Global tids
+    are assigned in sorted-term order, which preserves each query's
+    sorted-term iteration order inside the scoring UDF (the engine
+    passes ``sorted(prox_terms)`` per query)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    spark = index.spark
+    all_terms = sorted({t for ts in terms_by_qid.values() for t in ts})
+    if not all_terms:
+        return spark.createDataFrame(
+            [], schema="qid string, doc_id long, match_score long"
+        )
+    term_order = {t: i for i, t in enumerate(all_terms)}
+    blocks = index.candidate_postings(all_terms, fields)
+    pruned = candidate_blocks(index, blocks, qid_doc_df.select("doc_id").distinct())
+    per_term = decode_positions_df(pruned, term_order)
+    qmap = spark.createDataFrame(
+        sorted(
+            (q, term_order[t]) for q, ts in terms_by_qid.items() for t in ts
+        ),
+        schema="qid string, tid int",
+    )
+    cand = per_term.join(F.broadcast(qmap), "tid").join(
+        qid_doc_df, ["qid", "doc_id"], "left_semi"
+    )
+    agg = cand.groupBy("qid", "doc_id").agg(
+        F.collect_list(F.struct("tid", "positions")).alias("tps")
+    )
+
+    def _score_batch(tps_series):
+        out = []
+        for tp_list in tps_series:
+            plists: dict[int, list[int]] = {}
+            for tp in tp_list:
+                cur = plists.setdefault(int(tp["tid"]), [])
+                cur.extend(int(x) for x in tp["positions"])
+            present = [sorted(v) for _tid, v in sorted(plists.items()) if v]
+            out.append(packed_match_score(present))
+        return pd.Series(out, dtype="int64")
+
+    score_udf = F.pandas_udf(_score_batch, "long")
+    return agg.select(
+        "qid", "doc_id", score_udf(F.col("tps")).alias("match_score")
+    )
+
+
 SNIPPET_AFFIX_TOKENS = 4  # reference highlight_affix_num_tokens
 SNIPPET_THRESHOLD = 30  # reference snippet_threshold default
 
