@@ -388,9 +388,9 @@ def headline_queries(sf_dir: str, cores: int) -> tuple[dict, float, float]:
         batch_qps_typo2 = round(len(tqs) / typo_dt, 1) if n_rows2 >= 0 else 0.0
 
         # FULL-surface batch (r3 VERDICT #1): typo expansion + prefix +
-        # drop-tokens fallback + synonym windows — the reference runs all
-        # of these on every request, so this is the apples-to-apples
-        # throughput surface for a real query-log replay
+        # drop-tokens fallback + synonym windows + typo deepening — the
+        # reference runs all of these on every request, so this is the
+        # apples-to-apples throughput surface for a real query-log replay
         from typesense_spark.search.synonyms import SynonymRule, SynonymStore
 
         store = SynonymStore(
@@ -405,6 +405,7 @@ def headline_queries(sf_dir: str, cores: int) -> tuple[dict, float, float]:
         n_rows3 = batch_search(
             ix, fqs, fields=("text",), num_typos=1, k=10,
             drop_tokens_threshold=10, synonym_store=store,
+            typo_tokens_threshold=10,
         ).count()
         full_dt = time.time() - t0
         batch_qps_full = round(len(fqs) / full_dt, 1) if n_rows3 >= 0 else 0.0
