@@ -356,3 +356,40 @@ def test_expand_terms_spark_two_phase_cost_window(built_index):
     for line in plan.splitlines():
         if "Window [" in line:
             assert "], [], [" not in line, f"global window found: {line}"
+
+
+def test_batch_deepening_no_driver_actions(built_index, monkeypatch):
+    """Batch typo deepening must stay ONE plan: the per-(vector, level)
+    stop decision is a broadcast-joined relation, never an intermediate
+    count/collect job (the engine's per-query loop runs a count job per
+    cost level — that is exactly what the batch lift removes)."""
+    from pyspark.sql import DataFrame
+
+    from typesense_spark.search.batch import batch_search
+    from typesense_spark.search.engine import _get_term_df, _use_spark_expand
+
+    # warm the legitimate one-time caches (dictionary size + df map)
+    _use_spark_expand(built_index, ("content",))
+    _get_term_df(built_index, ("content",))
+
+    counts, collects = [], []
+    orig_count, orig_collect = DataFrame.count, DataFrame.collect
+
+    def spy_count(self):
+        counts.append(1)
+        return orig_count(self)
+
+    def spy_collect(self):
+        collects.append(1)
+        return orig_collect(self)
+
+    monkeypatch.setattr(DataFrame, "count", spy_count)
+    monkeypatch.setattr(DataFrame, "collect", spy_collect)
+    out = batch_search(
+        built_index, [("a", "impor"), ("b", "improt")], fields=("content",),
+        num_typos=2, k=5, typo_tokens_threshold=5, drop_tokens_threshold=0,
+    )
+    assert counts == [] and collects == [], "plan construction ran a job"
+    rows = orig_collect(out)  # the ONE action, issued by the caller
+    assert rows
+    assert counts == [] and collects == []
