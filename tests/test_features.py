@@ -673,6 +673,20 @@ def test_batch_typo_deepening_matches_per_query(built_index):
         built_index, [("a", "impor zzznope"), ("b", "import"), ("c", "improt")],
         mixed, mixed,
     )
+    # synonym-WINDOW variants bypass deepening (the engine scores them
+    # with the full expansion after the attempt loop) and do not merge
+    # synonyms-dict alternates — both with the probe active
+    from typesense_spark.search.synonyms import SynonymRule, SynonymStore
+
+    store = SynonymStore([SynonymRule("r1", ("import", "return"), (("impor",),))])
+    winkw = dict(
+        fields=("content",), num_typos=2, drop_tokens_threshold=0,
+        typo_tokens_threshold=5, synonym_store=store,
+        synonyms={"import": ["class"]},
+    )
+    _batch_vs_engine(
+        built_index, [("a", "import return"), ("b", "impor")], winkw, winkw,
+    )
 
 
 def test_batch_typo_deepening_counts_filtered_results(spark):

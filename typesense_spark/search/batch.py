@@ -242,9 +242,12 @@ def _batch_matched(
         vspecs = [
             (tok, prefix_last and i == len(toks) - 1) for i, tok in enumerate(toks)
         ]
+        # synonyms-dict alternates apply to ORGANIC attempts only (the
+        # engine merges them inside the attempt loop; synonym-window
+        # variant vectors score with their own plain expansion)
         cands = [
             [(t, c, 0) for t, c in cand_map[s]]
-            + [(a, 0, 1) for a in alt_of.get(s, [])]
+            + ([(a, 0, 1) for a in alt_of.get(s, [])] if aidx < _SYN_BASE else [])
             for s in vspecs
         ]
         if mode == "and" and any(not c for c in cands):
@@ -434,22 +437,33 @@ def _batch_matched(
         cnt = _narrow(scored_lv).groupBy("vec_id").agg(
             *[F.sum(_matched(f"om{c}").cast("int")).alias(f"n{c}") for c in levels]
         )
+        # synonym-window variant vectors BYPASS deepening (the engine
+        # scores them after the attempt loop with the full expansion —
+        # only organic attempts run the probe), pinned to full depth
+        syn_vecs = {v for v, _q, aidx, _t in vectors if aidx >= _SYN_BASE}
         mc_df = spark.createDataFrame(
-            sorted((v, max_cost.get(v, 0)) for v in {r[0] for r in rows}),
-            schema="vec_id int, maxc int",
+            sorted(
+                (v, max_cost.get(v, 0), v in syn_vecs)
+                for v in {r[0] for r in rows}
+            ),
+            schema="vec_id int, maxc int, is_syn boolean",
         )
         chosen = mc_df.join(cnt, "vec_id", "left").select(
             "vec_id",
-            F.coalesce(
-                *[
-                    F.when(
-                        (F.lit(c) < F.col("maxc")) & (F.col(f"n{c}") >= thr),
-                        F.lit(c),
-                    )
-                    for c in levels[:-1]
-                ],
-                F.col("maxc"),
-            ).alias("lvl"),
+            F.when(F.col("is_syn"), F.col("maxc"))
+            .otherwise(
+                F.coalesce(
+                    *[
+                        F.when(
+                            (F.lit(c) < F.col("maxc")) & (F.col(f"n{c}") >= thr),
+                            F.lit(c),
+                        )
+                        for c in levels[:-1]
+                    ],
+                    F.col("maxc"),
+                )
+            )
+            .alias("lvl"),
         )
 
         def _at_lvl(prefix: str):
