@@ -448,7 +448,9 @@ def _batch_matched(
             ),
             schema="vec_id int, maxc int, is_syn boolean",
         )
-        chosen = mc_df.join(cnt, "vec_id", "left").select(
+        # both sides are |vectors|-sized (tiny); broadcast the count
+        # relation so the level decision never shuffles
+        chosen = mc_df.join(F.broadcast(cnt), "vec_id", "left").select(
             "vec_id",
             F.when(F.col("is_syn"), F.col("maxc"))
             .otherwise(
