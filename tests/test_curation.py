@@ -323,3 +323,66 @@ def test_batch_curated_hidden_narrows_deepening_probe(spark):
                           drop_tokens_threshold=0, **kw),
         )
         assert got.get(qid, set()) == {r["doc_id"] for r in res.hits.collect()}, qid
+
+
+def test_batch_grouped_curated_matches_engine(built_index):
+    """Q20 × group_by × batch: synthetic curated groups at group
+    positions, organic groups exclude curated docs — parity with
+    engine.search(group_by=..., override_store=...).grouped_hits,
+    query by query."""
+    from typesense_spark.search import OverrideRule, OverrideStore, SearchRequest, search
+    from typesense_spark.search.batch import batch_grouped_curated
+
+    base = search(
+        built_index,
+        SearchRequest(q="import return", fields=("content",), num_typos=0,
+                      drop_tokens_threshold=0),
+    )
+    organics = [r["doc_id"] for r in base.hits.collect()]
+    d1, d2 = organics[0], organics[2]
+    store = OverrideStore([
+        # two claimants for group position 1 (group_limit 2 keeps both),
+        # plus a drop
+        OverrideRule("a", "import return", "exact",
+                     add_hits=((d1, 1), (999_999, 1)), drop_hits=(d2,)),
+        OverrideRule("b", "class", "contains", add_hits=((d2, 2),)),
+    ])
+    qset = [("a", "import return"), ("b", "class"), ("c", "import")]
+    kw = dict(fields=("content",), num_typos=0, drop_tokens_threshold=0)
+    out = batch_grouped_curated(
+        built_index, qset, ("lang",), group_limit=2, top_groups=4,
+        override_store=store, **kw
+    )
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["qid"], []).append(
+            (r["group_pos"], r["group_rank"], r["doc_id"], r["score_milli"], r["curated"])
+        )
+    for qid, q in qset:
+        res = search(
+            built_index,
+            SearchRequest(q=q, group_by=("lang",), group_limit=2, per_page=4,
+                          override_store=store, **kw),
+        )
+        if res.grouped_hits is not None:
+            want = [
+                (r["group_pos"], r["group_rank"], r["doc_id"], r["score_milli"], r["curated"])
+                for r in res.grouped_hits.collect()
+            ]
+        else:
+            # no firing rule → organic grouped page (res.grouped carries
+            # no group_pos; derive it by top-hit ordering), curated=False
+            groups = {}
+            for r in res.grouped.collect():
+                groups.setdefault(r["lang"], []).append(
+                    (r["group_rank"], r["doc_id"], r["score_milli"])
+                )
+            ordered = sorted(
+                groups.values(), key=lambda ms: (-min(ms)[2], -min(ms)[1])
+            )[:4]
+            want = [
+                (pos, gr, d, s, False)
+                for pos, ms in enumerate(ordered, start=1)
+                for gr, d, s in sorted(ms)
+            ]
+        assert sorted(got.get(qid, [])) == sorted(want), (qid, got.get(qid), want)

@@ -739,6 +739,132 @@ def batch_grouped(
     )
 
 
+def batch_grouped_curated(
+    index: Index,
+    queries: list[tuple[str, str]],
+    group_by: tuple[str, ...],
+    group_limit: int = 3,
+    top_groups: int = 10,
+    override_store: object | None = None,
+    pinned: dict[str, dict[int, int]] | None = None,
+    hidden: dict[str, tuple[int, ...]] | None = None,
+    **kw,
+) -> DataFrame:
+    """Q20 under group_by, batched (engine._grouped_curated_splice):
+    per query, up to ``group_limit`` claimants per position form a
+    SYNTHETIC curated group spliced at that GROUP position; organic
+    groups exclude curated docs and rank by their top hit (reference
+    merge of override_result_kvs, src/collection.cpp:890-922).
+
+    Output: (qid, group_pos, group_rank, doc_id, score_milli, curated).
+    Scoring + grouping for every query is ONE Spark plan; the splice
+    runs over the collected per-query group page (O(N·top_groups·
+    group_limit) driver rows) plus one bounded lookup of the curated
+    docs' scores. Accepts every :func:`batch_search` keyword."""
+    gl = max(1, group_limit)
+    res_pin: dict[str, dict[int, int]] = {}
+    res_hid: dict[str, tuple[int, ...]] = {}
+    for qid, q in queries:
+        p = dict((pinned or {}).get(qid, {}))
+        h = tuple((hidden or {}).get(qid, ()))
+        if override_store is not None:
+            p, h = override_store.resolve(q, p, h, ids_per_pos=gl)
+        res_pin[qid], res_hid[qid] = p, h
+    merged = _batch_matched(index, queries, hidden=res_hid, **kw)
+    spark = index.spark
+
+    # per-qid curated claimants: ≤ group_limit per position, claim order
+    by_pos_q: dict[str, dict[int, list[int]]] = {}
+    cur_pairs: list[tuple[str, int]] = []
+    for qid, _q in queries:
+        bp: dict[int, list[int]] = {}
+        for d, p in res_pin[qid].items():
+            lst = bp.setdefault(p, [])
+            if len(lst) < gl:
+                lst.append(d)
+        by_pos_q[qid] = bp
+        cur_pairs += [(qid, int(d)) for lst in bp.values() for d in lst]
+    cp = None
+    org = merged
+    if cur_pairs:
+        cp = spark.createDataFrame(
+            sorted(set(cur_pairs)), schema="qid string, doc_id long"
+        )
+        org = merged.join(F.broadcast(cp), ["qid", "doc_id"], "left_anti")
+
+    hydrated = org.join(index.docs.select("doc_id", *group_by), "doc_id")
+    wg = Window.partitionBy("qid", *group_by).orderBy(
+        F.col("score_milli").desc(), F.col("doc_id").desc()
+    )
+    wkey = Window.partitionBy("qid", *group_by)
+    wgrp = Window.partitionBy("qid").orderBy(
+        F.col("g_score").desc(), F.col("g_doc").desc()
+    )
+    lim = top_groups + max((len(bp) for bp in by_pos_q.values()), default=0)
+    page = (
+        hydrated.withColumn("group_rank", F.row_number().over(wg))
+        .where(F.col("group_rank") <= gl)
+        .withColumn(
+            "g_score",
+            F.max(F.when(F.col("group_rank") == 1, F.col("score_milli"))).over(wkey),
+        )
+        .withColumn(
+            "g_doc",
+            F.max(F.when(F.col("group_rank") == 1, F.col("doc_id"))).over(wkey),
+        )
+        .withColumn("gpos0", F.dense_rank().over(wgrp))
+        .where(F.col("gpos0") <= lim)
+        .select("qid", "doc_id", "score_milli", "group_rank", "g_score", "g_doc", "gpos0")
+        .collect()
+    )
+    sc: dict[tuple[str, int], int] = {}
+    if cp is not None:
+        for r in merged.join(F.broadcast(cp), ["qid", "doc_id"], "left_semi").collect():
+            sc[(r["qid"], r["doc_id"])] = int(r["score_milli"])
+
+    rows_q: dict[str, list] = {}
+    for r in page:
+        rows_q.setdefault(r["qid"], []).append(r)
+    out: list[tuple[str, int, int, int, int, bool]] = []
+    for qid, _q in queries:
+        rows = sorted(
+            rows_q.get(qid, []), key=lambda r: (r["gpos0"], r["group_rank"])
+        )
+        groups: dict[tuple, list[tuple[int, int]]] = {}
+        order_keys: list[tuple] = []
+        for r in rows:
+            kk = (r["g_score"], r["g_doc"])
+            if kk not in groups:
+                groups[kk] = []
+                order_keys.append(kk)
+            groups[kk].append((int(r["doc_id"]), int(r["score_milli"])))
+        queue = list(order_keys)
+        remaining = dict(sorted(by_pos_q[qid].items()))
+        pos = 1
+        n = 0
+        while n < top_groups and (queue or remaining):
+            if pos in remaining:
+                members = [(d, sc.get((qid, d), 0)) for d in remaining.pop(pos)]
+                cur = True
+            elif queue:
+                members, cur = groups[queue.pop(0)], False
+            else:
+                members = [
+                    (d, sc.get((qid, d), 0)) for d in remaining.pop(min(remaining))
+                ]
+                cur = True
+            out += [
+                (qid, pos, gr + 1, d, s, cur) for gr, (d, s) in enumerate(members)
+            ]
+            pos += 1
+            n += 1
+    return spark.createDataFrame(
+        out,
+        schema="qid string, group_pos int, group_rank int, doc_id long, "
+        "score_milli long, curated boolean",
+    )
+
+
 def batch_facet_counts(
     index: Index,
     queries: list[tuple[str, str]],
