@@ -47,12 +47,14 @@ excludes + filters applied) exactly like ``engine._narrowed_count``.
 Facets (:func:`batch_facet_counts`) and grouping (:func:`batch_grouped`)
 ride the same matched-set pipeline.
 
-Curation/overrides lift via :func:`batch_curated`: rules resolve per
-query driver-side (pure string matching, like the reference's
-populate_overrides), hidden docs join the narrowing relation, and the
-positional splice runs over ONE collected per-query page. Proximity
-re-rank lifts via :func:`batch_rerank_proximity` (one union decode
-pass, per-query Match-score ordering).
+Curation/overrides lift via :func:`batch_curated` (ungrouped) and
+:func:`batch_grouped_curated` (synthetic curated groups under
+group_by): rules resolve per query driver-side (pure string matching,
+like the reference's populate_overrides), hidden docs join the
+narrowing relation, and the positional splice runs over ONE collected
+per-query page. Proximity re-rank lifts via
+:func:`batch_rerank_proximity` (one union decode pass, per-query
+Match-score ordering).
 
 The one engine feature deliberately NOT in batch mode is WAND: it is a
 top-k PRUNING strategy for a single query's scan, while the batch plan
