@@ -689,6 +689,23 @@ def test_batch_typo_deepening_matches_per_query(built_index):
     )
 
 
+def test_batch_typo_deepening_with_weighted_fields(spark, corpus_df):
+    """Deepening + query_by_weights in one batch plan: the per-level
+    conditional aggregation must follow the weighted branch (per-field
+    best × weight, countDistinct qidx), parity with the engine."""
+    ix = build_index(
+        spark, corpus_df, fields=["content", "lang"],
+        key_cols=["repo", "path", "commit"], num_buckets=4, block_size=32,
+    )
+    qset = [("a", "impor python"), ("b", "return go"), ("c", "improt")]
+    kw = dict(
+        fields=("content", "lang"), num_typos=2, mode="or",
+        query_by_weights=(2, 1), drop_tokens_threshold=0,
+        typo_tokens_threshold=5,
+    )
+    _batch_vs_engine(ix, qset, kw, kw)
+
+
 def test_batch_typo_deepening_counts_filtered_results(spark):
     """Batch deepening must count NARROWED results (per-query filters
     applied), like engine._narrowed_count: a query whose cost-1 hits
