@@ -235,6 +235,9 @@ def soak_run(master: str, n_docs: int) -> None:
     t0 = time.time()
     ix = build_index(spark, src, **BUILD_KW)
     build_wall = time.time() - t0
+    # three-way phase accounting (r4 ADVICE): the two timed queries
+    # were previously folded into the build counters
+    query_start_ms = int(time.time() * 1000)
     t0 = time.time()
     search(
         ix,
@@ -249,10 +252,12 @@ def soak_run(master: str, n_docs: int) -> None:
                       num_typos=0, mode="or", use_wand=True, per_page=20),
     ).hits.collect()
     q_wand = time.time() - t0
-    # sf1 batch throughput (r3 VERDICT #9): the 4000-query set-oriented
-    # batch at 10× bench scale — evidence the throughput story survives
-    # a corpus 10× the per-round bench
-    from typesense_spark.search.batch import batch_search
+    # sf1 batch throughput (r3 VERDICT #9) — CHUNKED (r4 VERDICT #2):
+    # the 4000-query log runs as qid chunks, each chunk one set-oriented
+    # plan run as its own action, so in-flight aggregation state is
+    # bounded by chunk size at any log size (the unchunked mega-plan
+    # spilled ~300 GB at this scale)
+    from typesense_spark.search.batch import batch_search_chunked
     from typesense_spark.search.engine import _get_term_df
 
     vocab = sorted(_get_term_df(ix, ("content",)))
@@ -261,20 +266,23 @@ def soak_run(master: str, n_docs: int) -> None:
         n = 1 + (i * 2654435761) % 3
         toks = [vocab[(i * 40503 + j * 69069) % len(vocab)] for j in range(n)]
         qs.append((f"b{i}", " ".join(toks)))
+    chunk_queries = int(os.environ.get("SPARK_GRAFT_BATCH_CHUNK", "500"))
     batch_start_ms = int(time.time() * 1000)
     t0 = time.time()
-    batch_search(ix, qs, fields=("content",), num_typos=0, k=10).count()
+    for chunk in batch_search_chunked(
+        ix, qs, chunk_queries=chunk_queries, fields=("content",), num_typos=0, k=10
+    ):
+        chunk.count()
     batch_dt = time.time() - t0
     postings = ix.report.n_postings
     spark.stop()  # finalizes the event log
 
     # spill/shuffle accounting split by phase on task finish time: the
-    # BUILD must stay spill-free (the 100×-story criterion); the 4000-
-    # query batch deliberately aggregates Σ df(token) scored rows in one
-    # job and is ALLOWED to spill — that is the graceful-degradation
-    # path, reported separately so the build's zero isn't masked
+    # BUILD must stay spill-free (the 100×-story criterion); the batch
+    # phase is reported separately so the build's zero isn't masked
     phases = {
         "build": [0, 0, 0],  # mem, disk, shuffle-write
+        "queries": [0, 0, 0],
         "batch": [0, 0, 0],
     }
     paths = [p for p in glob.glob(f"{evdir}/**", recursive=True) if os.path.isfile(p)]
@@ -289,7 +297,11 @@ def soak_run(master: str, n_docs: int) -> None:
                     continue
                 m = d.get("Task Metrics") or {}
                 fin = (d.get("Task Info") or {}).get("Finish Time", 0)
-                ph = phases["batch" if fin >= batch_start_ms else "build"]
+                ph = phases[
+                    "batch"
+                    if fin >= batch_start_ms
+                    else ("queries" if fin >= query_start_ms else "build")
+                ]
                 ph[0] += m.get("Memory Bytes Spilled", 0)
                 ph[1] += m.get("Disk Bytes Spilled", 0)
                 ph[2] += (m.get("Shuffle Write Metrics") or {}).get(
@@ -307,9 +319,15 @@ def soak_run(master: str, n_docs: int) -> None:
                 "query_filtered_and_sec": round(q_and, 3),
                 "query_wand_or_sec": round(q_wand, 3),
                 "batch_qps": round(len(qs) / batch_dt, 1),
+                "batch_chunk_queries": chunk_queries,
                 "shuffle_write_bytes": phases["build"][2],
                 "memory_bytes_spilled": phases["build"][0],
                 "disk_bytes_spilled": phases["build"][1],
+                "query_phase": {
+                    "memory_bytes_spilled": phases["queries"][0],
+                    "disk_bytes_spilled": phases["queries"][1],
+                    "shuffle_write_bytes": phases["queries"][2],
+                },
                 "batch_phase": {
                     "memory_bytes_spilled": phases["batch"][0],
                     "disk_bytes_spilled": phases["batch"][1],

@@ -778,3 +778,23 @@ def test_batch_grouped_matches_engine(built_index):
         want = {i + 1: sorted(ms) for i, ms in enumerate(ordered)}
         g = {pos: sorted(ms) for pos, ms in got.get(qid, {}).items()}
         assert g == want, (qid, g, want)
+
+
+def test_batch_search_chunked_matches_unchunked(built_index):
+    """r4 VERDICT #2: the bounded-state chunked batch is row-identical
+    to the single mega-plan (per-qid independence)."""
+    from typesense_spark.search.batch import batch_search, batch_search_chunked
+
+    qset = [
+        ("q0", "import return"),
+        ("q1", "merge0"),
+        ("q2", "improt"),
+        ("q3", "zzznope import"),
+        ("q4", "return"),
+    ]
+    kw = dict(fields=("content",), num_typos=1, k=5)
+    want = sorted(tuple(r) for r in batch_search(built_index, qset, **kw).collect())
+    got = []
+    for chunk in batch_search_chunked(built_index, qset, chunk_queries=2, **kw):
+        got.extend(tuple(r) for r in chunk.collect())
+    assert sorted(got) == want

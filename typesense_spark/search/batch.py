@@ -345,6 +345,42 @@ def _batch_matched(
         and num_typos > 0
         and any(max_cost.values())
     )
+    # ---- single-vector fast path (r4 VERDICT #1) ---------------------------
+    # The typo-free query-log replay shape — every query unrolled to
+    # exactly ONE vector (no drop-tokens fallback plan, no synonym
+    # windows, no deepening). Per (qid, doc) there is then at most one
+    # scored row, so the per-vector keys (vec_id, aidx), the cutoff
+    # windows, and the final max-merge aggregation are all identity
+    # operations — skipping them restores the r3 two-aggregation plan
+    # (join → per-token max → per-doc sum) and one full shuffle over
+    # the scored set. Queries that need the richer pipeline take the
+    # vector-keyed path below; results are identical either way
+    # (asserted in tests/test_search.py batch parity).
+    if not deepen and all(a == 0 for _v, _q, a, _t in vectors):
+        if query_by_weights:
+            per_ft = joined.groupBy("qid", "n_tokens", "doc_id", "field", "qidx").agg(
+                F.max("contrib").alias("best")
+            )
+            scored = (
+                per_ft.withColumn(
+                    "ws", F.element_at(wmap, F.col("field")) * F.col("best")
+                )
+                .groupBy("qid", "n_tokens", "doc_id")
+                .agg(
+                    F.sum("ws").alias("score_milli"),
+                    F.countDistinct("qidx").alias("nmatch"),
+                )
+            )
+        else:
+            per_tok = joined.groupBy("qid", "n_tokens", "doc_id", "qidx").agg(
+                F.max("contrib").alias("tok_score")
+            )
+            scored = per_tok.groupBy("qid", "n_tokens", "doc_id").agg(
+                F.sum("tok_score").alias("score_milli"), F.count("*").alias("nmatch")
+            )
+        if mode == "and":
+            scored = scored.where(F.col("nmatch") == F.col("n_tokens"))
+        return _narrow(scored.select("qid", "doc_id", "score_milli"))
     if not deepen:
         if query_by_weights:
             per_ft = joined.groupBy(
@@ -568,6 +604,31 @@ def batch_search(
         .where(F.col("rank") <= k)
         .select("qid", "rank", "doc_id", "score_milli")
     )
+
+
+def batch_search_chunked(
+    index: Index,
+    queries: list[tuple[str, str]],
+    chunk_queries: int = 512,
+    **kw,
+):
+    """Yield one :func:`batch_search` DataFrame per qid chunk of
+    ``chunk_queries`` queries — the bounded-state form of the batch path
+    (r4 VERDICT #2, the sf1 soak's one measured scale cliff).
+
+    One mega-plan's aggregation state grows with Σ df(token) over the
+    WHOLE query log — unbounded in query count, which at 1M docs ×
+    4000 queries spilled ~300 GB. Chunking bounds in-flight state at
+    any log size: each chunk is still ONE set-oriented plan (scan →
+    decode → score → top-k), and chunks run as SEPARATE actions, so
+    executor memory holds one chunk's aggregation state at a time.
+    Per-chunk results are per-qid independent, so the concatenation is
+    row-identical to the unchunked call (asserted in tests). Size
+    chunks so (avg df × chunk_queries × row width) fits the executors'
+    aggregate memory; the postings scan stays term-pruned per chunk, so
+    total scan volume matches the unchunked plan."""
+    for i in range(0, len(queries), chunk_queries):
+        yield batch_search(index, queries[i : i + chunk_queries], **kw)
 
 
 def batch_rerank_proximity(

@@ -134,10 +134,20 @@ STRIP_PATTERN = "[^a-z0-9]"
 # separators go. Valid Java regex AND RE2 (DuckDB) — shared verbatim.
 UNICODE_STRIP_PATTERN = "[^a-z0-9\\p{L}\\p{N}\\p{M}]"
 
-# BMP ranges scanned for 1:1 fold entries: Latin-1..CJK-punct covers
-# every accented-Latin/Greek/Cyrillic block; FE30-FFEF covers the
-# full/half-width forms common in CJK text
-_FOLD_SCAN_RANGES = ((0x41, 0x5B), (0xA0, 0x3000), (0xFE30, 0xFFF0))
+# BMP range scanned for 1:1 fold entries: the FULL assigned BMP above
+# Latin-1 (r4 ADVICE: the earlier Latin+CJK-punct / width-forms pair
+# missed ~941 foldable codepoints in [0x3000, 0xFE30), e.g. ㈠ which
+# deletes on the Python path but survived as \p{N} on the JVM/DuckDB
+# path). Scanning 65k codepoints runs once per process (~0.1 s, cached).
+# Remaining documented divergence classes of the JVM/DuckDB paths vs
+# the authoritative Python/pandas path:
+#   - multi-char ASCII decompositions (ﬁ→fi, ㎞→km) — translate() is
+#     1:1, so these pass through (pre-existing pinned divergence);
+#   - non-BMP codepoints (𝐀→a, 🄰) — Spark's translate operates on
+#     UTF-16 code units, so supplementary-plane entries cannot be
+#     expressed safely in the shared table; they pass through verbatim.
+# Corpora heavy in either class should route through the pandas path.
+_FOLD_SCAN_RANGES = ((0x41, 0x5B), (0xA0, 0xFFF0))
 
 
 @lru_cache(maxsize=1)
