@@ -249,3 +249,72 @@ def test_batch_rerank_proximity_matches_engine(built_index):
             (r["rank"], r["doc_id"], r["score_milli"]) for r in res.hits.collect()
         ]
         assert sorted(by_qid.get(qid, [])) == want, (qid, by_qid.get(qid), want)
+
+
+# ---- text-match-primary golden orderings (r4 VERDICT #4) -----------------
+# Ported from the reference's own test corpus + expectations
+# (fixtures/reference_documents.jsonl = /root/reference/test/documents.jsonl;
+# harness collection_test.cpp:20-61 — a dummy record {points:10, title:"z"}
+# is inserted FIRST so jsonl line i gets id i+1; the explicit-id doc "foo"
+# is seq 5). Default reference ranking: (text_match DESC, points DESC),
+# final tie = larger seq id first.
+
+
+def _golden_index(spark):
+    import json
+    import os
+
+    from typesense_spark.index import build_index
+
+    fix = os.path.join(os.path.dirname(__file__), "..", "fixtures",
+                       "reference_documents.jsonl")
+    rows = [(0, "z", 10)]  # the harness's dummy record (id 0)
+    with open(fix) as f:
+        for i, line in enumerate(f):
+            d = json.loads(line)
+            rows.append((i + 1, d["title"], int(d["points"])))
+    docs = spark.createDataFrame(
+        rows, schema="doc_id long, title string, points long"
+    )
+    return build_index(
+        spark, docs, fields=["title"], id_col="doc_id", num_buckets=4,
+        block_size=32,
+    )
+
+
+def _golden_search(ix, q, num_typos, per_page):
+    from typesense_spark.search import SearchRequest, search
+
+    res = search(
+        ix,
+        SearchRequest(
+            q=q, fields=("title",), num_typos=num_typos, per_page=per_page,
+            prefix_last=False,  # reference search() default prefix=false
+            rank_by_text_match=True, sort_by=(("points", "desc"),),
+        ),
+    )
+    return [r["doc_id"] for r in res.hits.orderBy("rank").collect()]
+
+
+def test_reference_golden_exact_search_stable(spark):
+    """collection_test.cpp ExactSearchShouldBeStable: q='the', 0 typos →
+    ids {1, 6, foo, 13, 10, 8, 16} (foo = seq 5); single-token match
+    scores tie, points DESC decides, larger seq id wins point ties."""
+    ix = _golden_index(spark)
+    assert _golden_search(ix, "the", 0, 10) == [1, 6, 5, 13, 10, 8, 16]
+
+
+def test_reference_golden_query_with_typo(spark):
+    """collection_test.cpp QueryWithTypo: q='kind biologcal', 2 typos →
+    {19, 3, 20}: two-word window match beats single-word; the cost byte
+    ranks find(cost 1) over kinds(cost 1 + length-extension 1)."""
+    ix = _golden_index(spark)
+    assert _golden_search(ix, "kind biologcal", 2, 3) == [19, 3, 20]
+
+
+def test_reference_golden_query_with_typo_2(spark):
+    """collection_test.cpp QueryWithTypo second case: q='fer thx',
+    1 typo → {1, 10, 13}: for+the adjacency (distance byte) then
+    points."""
+    ix = _golden_index(spark)
+    assert _golden_search(ix, "fer thx", 1, 3) == [1, 10, 13]

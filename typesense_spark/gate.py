@@ -459,6 +459,32 @@ def q_delete_rebuild(spark, sf_dir):
     )
 
 
+def q_delete_by_filter(spark, sf_dir):
+    """S7 delete-by-filter (reference del_remove_documents filter arm,
+    src/core_api.cpp:880+): checkpointed build → delete every doc
+    matching ``lang := en`` via the filter DSL → decoded postings of
+    the rebuilt buckets must equal the surviving (non-en) docs' tf
+    exactly (same frozen-stats contract as q_delete_rebuild)."""
+    import tempfile
+
+    from typesense_spark.index.checkpoint import checkpointed_build, load_checkpointed
+    from typesense_spark.index.maintain import delete_docs_by_filter
+
+    docs = _docs(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="ts_delfil_")
+    checkpointed_build(
+        spark, docs, out, fields=["text"], id_col="doc_id", n_groups=2,
+        num_buckets=8, block_size=64,
+    )
+    delete_docs_by_filter(spark, out, "lang := en", fields=["text"])
+    ix = load_checkpointed(spark, out)
+    return (
+        ix.decoded(["table", "merge"], ["text"])
+        .select("term", "doc_id", "tf")
+        .orderBy("term", "doc_id")
+    )
+
+
 def q_upsert_rebuild(spark, sf_dir):
     """S8: checkpointed build → upsert docs 0..4 with replacement text
     (one brand-new term) → decoded postings must equal the tf relation
@@ -1328,6 +1354,7 @@ QUERIES = {
     "export": q_export,
     "snapshot_travel": q_snapshot_travel,
     "delete_rebuild": q_delete_rebuild,
+    "delete_by_filter": q_delete_by_filter,
     "upsert_rebuild": q_upsert_rebuild,
     "grouped": q_grouped,
     "pagination": q_pagination,
@@ -1506,6 +1533,15 @@ def build_oracles() -> dict[str, str]:
         + " SELECT term, doc_id, tf FROM tf "
         "WHERE term IN ('table', 'merge') AND doc_id >= 10 "
         "ORDER BY term, doc_id"
+    )
+    # delete-by-filter oracle: tf of the docs SURVIVING the filter
+    # (lang <> 'en'), same frozen-stats contract as delete_rebuild
+    o["delete_by_filter"] = (
+        _PRELUDE
+        + " SELECT t.term, t.doc_id, t.tf FROM tf t "
+        "JOIN documents d ON t.doc_id = d.doc_id "
+        "WHERE t.term IN ('table', 'merge') AND d.lang <> 'en' "
+        "ORDER BY t.term, t.doc_id"
     )
     # upsert oracle: the same pinned tokenize→tf pipeline over the
     # MODIFIED corpus (docs 0..4 replaced)

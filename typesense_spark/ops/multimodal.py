@@ -170,19 +170,27 @@ def resize_image(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 
 def _binary_views(arr) -> list:
     """pyarrow Binary/LargeBinary array → per-row memoryview slices of
-    the shared data buffer (zero-copy; None for null rows)."""
+    the shared data buffer (zero-copy). NULL payload rows raise — every
+    extractor here hashes/decodes the payload, and a None view would
+    surface as an obscure TypeError deep inside sha256/struct instead
+    of naming the offending row (r4 ADVICE: skip-vs-raise decided as
+    raise-clearly; filter nulls upstream if they are expected)."""
     import pyarrow as pa
 
+    if len(arr) == 0:
+        return []  # r4 ADVICE: empty batches carry a None offsets buffer
+    if arr.null_count:
+        raise ValueError(
+            f"{arr.null_count} null payload row(s) in binary column — "
+            "filter them out (payload IS NOT NULL) before feature extraction"
+        )
     off_dtype = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
     bufs = arr.buffers()
     offsets = np.frombuffer(
         bufs[1], dtype=off_dtype, count=len(arr) + 1 + arr.offset
     )[arr.offset :]
     data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
-    return [
-        None if not arr[i].is_valid else data[offsets[i] : offsets[i + 1]]
-        for i in range(len(arr))
-    ]
+    return [data[offsets[i] : offsets[i + 1]] for i in range(len(arr))]
 
 
 def extract_features(

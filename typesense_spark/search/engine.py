@@ -130,6 +130,17 @@ class SearchRequest:
     # proximity score is the reference's primary relevance
     # (match_score.h:49-57); here it re-ranks the BM25 candidate set
     rerank_proximity: bool = False
+    # Text-match-PRIMARY parity mode (r4 VERDICT #4): rank by the full
+    # packed score INCLUDING the typo-cost byte —
+    # (words<<16)|(255-total_cost)<<8|distance, the reference's DEFAULT
+    # primary key (_text_match injected at src/collection.cpp:713-728;
+    # packing include/match_score.h:49-57) — with BM25 demoted to a
+    # tie-break after any sort_by fields. Unlike rerank_proximity (cost
+    # byte fixed at 255), the cost byte carries the sum of used
+    # candidates' typo costs +1 per length-extension match
+    # (src/index.cpp:2038-2040). Golden orderings from the reference's
+    # own collection_test.cpp are asserted in tests/test_match.py.
+    rank_by_text_match: bool = False
 
 
 @dataclass
@@ -193,9 +204,10 @@ class SearchResult:
 # hits/facets actions reuse the materialized scores instead of
 # re-running the scan→decode→score pipeline. Handles are released
 # LRU-style so long sessions don't accumulate executor storage.
-# Keyed by SparkSession (ADVICE r3): handles from a stopped session are
-# dropped without a JVM call, so a session restart (test suites,
-# long-lived processes) can't make an eviction raise in a later search.
+# Keyed by SparkSession (ADVICE r3): evicting another session's handles
+# attempts a best-effort unpersist (ADVICE r4 — the other session may
+# still be LIVE), with failures swallowed so a stopped/replaced session
+# (test suites, long-lived processes) can't make a later search raise.
 _SCORE_CACHE_KEEP = 8
 _score_cache: dict[int, list[DataFrame]] = {}
 
@@ -203,9 +215,17 @@ _score_cache: dict[int, list[DataFrame]] = {}
 def _persist_scored(df: DataFrame) -> DataFrame:
     df = df.persist()
     key = id(df.sparkSession)
-    stale = [k for k in _score_cache if k != key]
-    for k in stale:
-        _score_cache.pop(k)  # stopped/replaced session: drop handles only
+    for k in [k for k in _score_cache if k != key]:
+        # r4 ADVICE: a key mismatch does not mean the other session is
+        # dead — two live sessions alternating searches would otherwise
+        # leak each other's persisted score relations. Try to unpersist
+        # each evicted handle; a stopped session's JVM call just fails
+        # into the except (the old behavior).
+        for old in _score_cache.pop(k):
+            try:
+                old.unpersist()
+            except Exception:
+                pass  # session died under the handle — nothing to release
     cache = _score_cache.setdefault(key, [])
     cache.append(df)
     while len(cache) > _SCORE_CACHE_KEEP:
@@ -630,6 +650,7 @@ def search(index: Index, req: SearchRequest) -> SearchResult:
         and not req.query_by_weights  # block maxima are unweighted
         and not req.sort_by
         and not req.rerank_proximity
+        and not req.rank_by_text_match
         and not (req.facet_by or req.facet_stats_for or req.group_by)
         and req.page * req.per_page <= MAX_HITS
     )
@@ -824,9 +845,28 @@ def search(index: Index, req: SearchRequest) -> SearchResult:
                 F.expr("stat_sum * 1000000 div stat_count").alias("stat_avg_micro"),
             )
 
+    # Text-match-primary parity mode: packed score incl. typo-cost byte
+    # as the PRIMARY ranking key (see SearchRequest.rank_by_text_match;
+    # takes precedence over rerank_proximity when both are set)
+    if req.rank_by_text_match and tokens != ["*"]:
+        from typesense_spark.search.match import text_match_rescore
+
+        specs = [
+            # the reference's +1 length-extension cost: a matched leaf
+            # longer/shorter than the query token costs one extra
+            # (next_suggestion, src/index.cpp:2038-2040)
+            (term, i, cost + (1 if len(term) != len(tok) else 0))
+            for i, tok in enumerate(tokens)
+            for term, cost in all_cands.get(tok, [])
+        ]
+        prox = text_match_rescore(index, matched, specs, list(req.fields))
+        matched = matched.join(prox, "doc_id", "left").withColumn(
+            "match_score", F.coalesce("match_score", F.lit(0)).cast("long")
+        )
+
     # Q11 optional second stage: decode stored positions for the
     # candidate docs only, compute the packed proximity score
-    if req.rerank_proximity and tokens != ["*"]:
+    if req.rerank_proximity and not req.rank_by_text_match and tokens != ["*"]:
         from typesense_spark.search.match import proximity_rescore
 
         # a query token is "in the dictionary" iff its expansion yielded
@@ -849,13 +889,23 @@ def search(index: Index, req: SearchRequest) -> SearchResult:
     # then explicit sort_by, then score DESC, doc_id DESC (reference
     # tie-break, topster.h:254-257)
     order = []
-    if req.rerank_proximity and tokens != ["*"]:
+    if (req.rerank_proximity or req.rank_by_text_match) and tokens != ["*"]:
         order.append(F.col("match_score").desc())
     order += [
         (F.col(c).desc() if d.lower() == "desc" else F.col(c).asc())
         for c, d in req.sort_by
     ]
-    order += [F.col("score_milli").desc(), F.col("doc_id").desc()]
+    if req.rank_by_text_match and req.sort_by and tokens != ["*"]:
+        # reference parity: with explicit sort fields the order is
+        # (text_match, *sort_by, seq_id DESC) — topster.h:254-257; BM25
+        # (which the reference does not compute) must NOT slip in
+        # between sort_by ties and the doc_id tie-break, or golden
+        # orderings like ExactSearchShouldBeStable's points-tied run
+        # diverge. With no sort_by, BM25 plays the reference's
+        # default_sorting_field role below.
+        order += [F.col("doc_id").desc()]
+    else:
+        order += [F.col("score_milli").desc(), F.col("doc_id").desc()]
 
     # reference exclude_fields: resolve the effective projection list
     # (include minus exclude; bare exclude = all doc columns minus it)
@@ -888,6 +938,11 @@ def search(index: Index, req: SearchRequest) -> SearchResult:
     # Q14/Q22: distributed top-k (TakeOrderedAndProject) then page slice
     top_n = req.page * req.per_page
     proj = ["rank", "doc_id", "score_milli", *include_fields]
+    if (req.rerank_proximity or req.rank_by_text_match) and tokens != ["*"]:
+        # the reference returns the packed score with every hit
+        # (`text_match` in the result JSON, src/collection.cpp:713-728)
+        # — surface the ranking key, not just the order it induced
+        proj.insert(2, "match_score")
     if pinned:
         # Q20 pinned hits: driver-side positional splice of the (small)
         # winner list, like the reference (src/collection.cpp:897-922).
@@ -904,8 +959,12 @@ def search(index: Index, req: SearchRequest) -> SearchResult:
         winners = set(by_pos.values())
         organic = hydrated.orderBy(*order).limit(top_n + len(winners)).collect()
         scores = {r["doc_id"]: r["score_milli"] for r in organic}
+        has_ms = "match_score" in proj
+        mscores = (
+            {r["doc_id"]: r["match_score"] for r in organic} if has_ms else {}
+        )
         queue = [r["doc_id"] for r in organic if r["doc_id"] not in winners]
-        final: list[tuple[int, int, int, bool]] = []
+        final: list[tuple] = []
         pos = 1
         while len(final) < top_n and (queue or by_pos):
             if pos in by_pos:
@@ -914,14 +973,20 @@ def search(index: Index, req: SearchRequest) -> SearchResult:
                 d, curated = queue.pop(0), False
             else:
                 d, curated = by_pos.pop(min(by_pos)), True
-            final.append((pos, d, scores.get(d, 0), curated))
+            row = (pos, d, scores.get(d, 0), curated)
+            if has_ms:
+                row = (pos, d, mscores.get(d, 0), scores.get(d, 0), curated)
+            final.append(row)
             pos += 1
         page_rows = final[(req.page - 1) * req.per_page :]
         # `curated` marks splice-pinned docs, like the reference's
         # "curated": true hit annotation (src/collection.cpp:1027)
-        hits = index.spark.createDataFrame(
-            page_rows, schema="rank int, doc_id long, score_milli long, curated boolean"
+        schema = (
+            "rank int, doc_id long, match_score long, score_milli long, curated boolean"
+            if has_ms
+            else "rank int, doc_id long, score_milli long, curated boolean"
         )
+        hits = index.spark.createDataFrame(page_rows, schema=schema)
         if include_fields:
             hits = hits.join(
                 docs.select("doc_id", *include_fields), "doc_id", "left"

@@ -296,6 +296,76 @@ def proximity_rescore_batch(
     )
 
 
+def text_match_rescore(
+    index, doc_ids_df, specs: list[tuple[str, int, int]], fields: list[str]
+):
+    """Text-match-PRIMARY packed score incl. the typo-cost byte
+    (r4 VERDICT #4): (doc_id) → (doc_id, match_score) where
+    ``match_score = (words << 16) | (255 - total_cost) << 8 | distance``
+    — the reference's primary relevance key (match_score.h:49-57), with
+    the typo-cost component :func:`proximity_rescore` omits.
+
+    ``specs``: (candidate term, query token slot, adjusted cost) — every
+    typo/prefix candidate of every token slot, cost already carrying
+    the reference's +1 length-extension adjustment (next_suggestion,
+    src/index.cpp:2038-2040: a matched leaf longer/shorter than the
+    query token costs one extra).
+
+    Pinned adaptation of the reference's per-combination enumeration
+    (a set engine scores all docs at once, not per driver-enumerated
+    combination): per (doc, slot) the MIN-cost candidate present in the
+    doc is used (positions of equal-min-cost candidates union);
+    ``total_cost`` sums the used costs over matched slots; a doc whose
+    match reduces to ONE slot scores the reference's single-token
+    Match(1, 0) — distance byte 0 (src/index.cpp:1822-1823). Same
+    decode pipeline as :func:`proximity_rescore` (block prune →
+    vectorized position decode → Arrow-batched scoring UDF)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    spark = index.spark
+    if not specs:
+        return spark.createDataFrame([], schema="doc_id long, match_score long")
+    terms = sorted({t for t, _, _ in specs})
+    term_order = {t: i for i, t in enumerate(terms)}
+    blocks = index.candidate_postings(terms, list(fields))
+    pruned = candidate_blocks(index, blocks, doc_ids_df.select("doc_id"))
+    per_term = decode_positions_df(pruned, term_order)
+    smap = spark.createDataFrame(
+        sorted({(term_order[t], int(slot), int(c)) for t, slot, c in specs}),
+        schema="tid int, slot int, cost int",
+    )
+    cand = per_term.join(F.broadcast(smap), "tid").join(
+        doc_ids_df.select("doc_id"), "doc_id", "left_semi"
+    )
+    agg = cand.groupBy("doc_id").agg(
+        F.collect_list(F.struct("slot", "cost", "positions")).alias("scp")
+    )
+
+    def _score_batch(scp_series):
+        out = []
+        for lst in scp_series:
+            by_slot: dict[int, tuple[int, list[int]]] = {}
+            for r in lst:
+                s, c = int(r["slot"]), int(r["cost"])
+                cur = by_slot.get(s)
+                if cur is None or c < cur[0]:
+                    by_slot[s] = (c, [int(x) for x in r["positions"]])
+                elif c == cur[0]:
+                    cur[1].extend(int(x) for x in r["positions"])
+            total = min(sum(c for c, _ in by_slot.values()), 255)
+            lists = [sorted(ps) for _s, (_c, ps) in sorted(by_slot.items())]
+            if len(lists) == 1:
+                words, dist = 1, 0  # reference single-token Match(1, 0)
+            else:
+                words, dist, _ = match_window(lists)
+            out.append((words << 16) | ((255 - total) << 8) | dist)
+        return pd.Series(out, dtype="int64")
+
+    score_udf = F.pandas_udf(_score_batch, "long")
+    return agg.select("doc_id", score_udf(F.col("scp")).alias("match_score"))
+
+
 SNIPPET_AFFIX_TOKENS = 4  # reference highlight_affix_num_tokens
 SNIPPET_THRESHOLD = 30  # reference snippet_threshold default
 

@@ -204,7 +204,12 @@ def compact_snapshots(
         return {**s, "compacted": False}
     m = snapshots.read_manifest(root)
     meta = m["meta"]
-    fields = meta.get("fields") or []
+    fields = meta.get("fields")
+    if not fields:
+        # legacy manifest without recorded fields: fail loudly like
+        # delete_docs_versioned does, not with build_index's obscure
+        # empty-fields IndexError (r4 ADVICE)
+        raise ValueError("manifest records no fields; cannot compact")
     bk = dict(meta["build_kw"])
     store_pos = bk.pop("store_positions", True)
     ix_old = snapshots.load_index(spark, root)
