@@ -34,10 +34,13 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
-# best-of-3: this box shows CPU-steal windows that can depress one
-# whole level by 20-30% (observed: the same build 21.5s vs 27s minutes
-# apart) — two trials can both land inside a bad window, three rarely do
-TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
+# best-of-4 (r4 VERDICT #3): this box shows CPU-steal windows that can
+# depress one whole level by 20-30% (observed: the same build 21.5s vs
+# 27s minutes apart) — two trials can both land inside a bad window,
+# three leave the median one contended round from dragging; with four
+# paired rounds the upper-middle ratio discards one corrupted round on
+# EITHER side of the pick
+TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "4"))
 PARTITIONS = 64  # identical job at every level: fixed partitioning
 
 BUILD_KW = dict(

@@ -805,13 +805,28 @@ def build_index(
         terms = terms.persist()
 
     # corpus stats (exact longs → avgdl division pinned in Python,
-    # mirrored exactly by the DuckDB oracle)
+    # mirrored exactly by the DuckDB oracle). When the dictionary
+    # relations are cached, the SAME job also materializes the terms
+    # cache (union probe): both aggregates share the one in-flight
+    # tf_light computation instead of the pack job re-traversing the
+    # cache through a second plan-compile + AQE round (r4 VERDICT #3 —
+    # fuse the stats/terms/doc_attrs actions onto one pass).
     t_stats = time.time()
-    stats: dict[str, FieldStats] = {}
-    for r in doc_attrs.groupBy("field").agg(
+    probe = doc_attrs.groupBy("field").agg(
         F.count("*").alias("n"), F.sum("dl").alias("s")
-    ).collect():
-        stats[r["field"]] = FieldStats(n_docs=int(r["n"]), sum_dl=int(r["s"]))
+    ).withColumn("_src", F.lit("attrs"))
+    if persist or persist_light:
+        probe = probe.unionByName(
+            terms.groupBy("field").agg(
+                F.count("*").alias("n"), F.sum("df").alias("s")
+            ).withColumn("_src", F.lit("terms"))
+        )
+    stats: dict[str, FieldStats] = {}
+    for r in probe.collect():
+        if r["_src"] == "attrs":
+            stats[r["field"]] = FieldStats(n_docs=int(r["n"]), sum_dl=int(r["s"]))
+        else:
+            report.n_terms += int(r["n"])
     report.stages["tokenize_stats_sec"] = round(time.time() - t_stats, 3)
 
     postings = pack_pipeline(
