@@ -455,3 +455,66 @@ def test_engine_deepening_one_probe_job(built_index, monkeypatch):
     )
     assert counts == [] and collects == [1], "expected exactly one probe job"
     assert orig_collect(res.hits)
+
+
+# pinned structural-plan census for the dedup scale paths (optimized
+# logical plan, Spark 4.1 / this repo's session config). A changed
+# count means the plan ACTUALLY drifted (an extra aggregate, join,
+# global distinct or window slipped in) — timing drift with these
+# green is environmental (the shared box's documented ±30% swings).
+# Counts are stable whether or not inputs/intermediates are persisted
+# (physical Exchange counts are NOT: cache scans reprint their child
+# plans and broadcast picks flip on size estimates — measured).
+# window counts are NOT pinned: the input docs' own lineage (the
+# assign_doc_ids partitioned row_number) reprints under cache scans —
+# instead every window anywhere in the plan must carry a partition
+# spec (no single-partition global windows, same smell test as
+# test_prefix_expansion_no_global_window).
+JACCARD_CENSUS = {"agg": 4, "join": 5, "dedupe": 0}
+MINHASH_CENSUS = {"agg": 1, "join": 3, "dedupe": 0}
+
+
+def _logical_census(df) -> dict:
+    p = df._jdf.queryExecution().optimizedPlan().toString()
+    return {
+        "agg": p.count("Aggregate ["),
+        "join": p.count("Join "),
+        "dedupe": p.count("Deduplicate"),
+    }
+
+
+def _assert_no_global_window(phys: str):
+    for line in phys.splitlines():
+        if "Window [" in line:
+            assert "], [], [" not in line, f"global window found: {line}"
+
+
+def test_jaccard_plan_census_pinned(spark, built_index):
+    """r4 VERDICT #7: dedup_jaccard drifted ~12% clean-to-clean with no
+    intended plan change — pin the plan census so any future drift is
+    either environmental or fails here. Expected shape (docstring of
+    ngram_jaccard_pairs): df agg + sizes agg + grouped pair enumeration
+    agg + inter agg, hot-list removal via BROADCAST anti-join (the
+    explicit broadcast hint), no cartesian, no global distinct."""
+    from typesense_spark.ops.dedup import ngram_jaccard_pairs
+
+    df = ngram_jaccard_pairs(built_index.docs, "content")
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in phys
+    assert "BroadcastExchange" in phys, "hot-shingle anti-join must broadcast"
+    _assert_no_global_window(phys)
+    assert _logical_census(df) == JACCARD_CENSUS, phys
+
+
+def test_minhash_lsh_plan_census_pinned(spark, built_index):
+    """Same pinning for dedup_minhash (drifted 2.67→2.97 s r3→r4): the
+    perm table stays a broadcast cross join (no shuffle for the 16-row
+    explode), bands cached, bucket join on the cached bands."""
+    from typesense_spark.ops.dedup import lsh_candidate_pairs
+
+    df = lsh_candidate_pairs(built_index.docs, "content")
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in phys
+    assert "BroadcastExchange" in phys, "perm table must broadcast"
+    _assert_no_global_window(phys)
+    assert _logical_census(df) == MINHASH_CENSUS, phys
