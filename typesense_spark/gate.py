@@ -345,6 +345,28 @@ def q_filter_dsl(spark, sf_dir):
     )
 
 
+def q_text_match(spark, sf_dir):
+    """Text-match-PRIMARY ranking parity mode (r4 VERDICT #4): packed
+    ``(words<<16)|(255-typo_cost)<<8|(100-spread)`` — the reference's
+    DEFAULT primary relevance (``src/collection.cpp:713-728``, packing
+    ``include/match_score.h:49-57``) — ranks first, BM25 demoted to
+    tie-break. Exact 2-token AND query (no prefix, no typos): every
+    hit carries cost byte 255 and words/spread from the position
+    sweep, which for two tokens reduces to the min pairwise position
+    distance (≤ WINDOW_SIZE) — exactly expressible in SQL, so this
+    gate hash-checks score AND ordering against DuckDB."""
+    res = _search(
+        spark, sf_dir, q="merge batch", num_typos=0, prefix_last=False,
+        rank_by_text_match=True,
+    )
+    return res.hits.select(
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        "match_score",
+        "score_milli",
+    ).orderBy("rank")
+
+
 def q_weighted_fields(spark, sf_dir):
     """Q12 query_by_weights: two-field AND search where the doc score is
     the field-wise weighted sum of per-token best contributions
@@ -1346,6 +1368,7 @@ QUERIES = {
     "synonyms": q_synonyms,
     "filter": q_filter,
     "filter_dsl": q_filter_dsl,
+    "text_match": q_text_match,
     "weighted_fields": q_weighted_fields,
     "wildcard": q_wildcard,
     "facet_counts": q_facet_counts,
@@ -1476,6 +1499,29 @@ def build_oracles() -> dict[str, str]:
         "AND d.doc_id IN (SELECT doc_id FROM tok WHERE term = 'batch') "
         "AND d.doc_id IN (SELECT doc_id FROM tok WHERE term = 'window'))"
         + _hits_sql().replace("FROM scored)", "FROM scored2)")
+    )
+    # text-match-primary: packed score for an exact 2-token query — the
+    # position sweep for two token lists reduces to the min pairwise
+    # distance (match.py match_window; proven by the reference golden
+    # vectors), so words/spread are plain SQL; cost byte is 255 (exact,
+    # no length extension). Order: match_score DESC, BM25 DESC, doc_id
+    # DESC (reference topster tie-break with the default sorting field).
+    o["text_match"] = (
+        _PRELUDE
+        + _cand_sql(["merge", "batch"], 0, False)
+        + _scored_sql(2)
+        + ", p1 AS (SELECT doc_id, pos FROM tok WHERE term = 'merge')"
+        ", p2 AS (SELECT doc_id, pos FROM tok WHERE term = 'batch')"
+        ", mind AS (SELECT p1.doc_id, min(abs(p1.pos - p2.pos)) AS d "
+        "FROM p1 JOIN p2 USING (doc_id) GROUP BY 1)"
+        ", ms AS (SELECT s.doc_id, s.score_milli, CAST(CASE WHEN m.d <= 10 "
+        "THEN (2 * 65536) + (255 * 256) + (100 - m.d) "
+        "ELSE 65536 + (255 * 256) + 100 END AS BIGINT) AS match_score "
+        "FROM scored s JOIN mind m USING (doc_id))"
+        " SELECT CAST(rn AS BIGINT) AS rank, doc_id, match_score, score_milli "
+        "FROM (SELECT *, row_number() OVER (ORDER BY match_score DESC, "
+        "score_milli DESC, doc_id DESC) AS rn FROM ms) "
+        "WHERE rn <= 10 ORDER BY rank"
     )
     o["weighted_fields"] = (
         _PRELUDE2
