@@ -147,7 +147,11 @@ UNICODE_STRIP_PATTERN = "[^a-z0-9\\p{L}\\p{N}\\p{M}]"
 #     UTF-16 code units, so supplementary-plane entries cannot be
 #     expressed safely in the shared table; they pass through verbatim.
 # Corpora heavy in either class should route through the pandas path.
-_FOLD_SCAN_RANGES = ((0x41, 0x5B), (0xA0, 0xFFF0))
+# surrogate block EXCLUDED: lone surrogates cannot be UTF-8-encoded,
+# so putting them in the translate table kills the py4j call that
+# ships it to the JVM (they can never appear in valid parquet/UTF-8
+# input either — nothing to fold)
+_FOLD_SCAN_RANGES = ((0x41, 0x5B), (0xA0, 0xD800), (0xE000, 0xFFF0))
 
 
 @lru_cache(maxsize=1)
