@@ -120,3 +120,19 @@ def test_ascii_fast_path_equals_slow_path():
     cases += ["".join(rng.choice(alphabet) for _ in range(60)) for _ in range(300)]
     for t in cases:
         assert tokenize(t) == slow(t), repr(t)
+
+
+def test_fold_table_is_jvm_shippable():
+    """The translate fold table crosses py4j as UTF-8: any scan change
+    that lets a non-encodable codepoint in (the surrogate block did,
+    round 5 — every JVM-tokenize query crashed) must fail HERE, not in
+    the first Spark query that ships the table."""
+    from typesense_spark.tokenizer import fold_table
+
+    matching, replace = fold_table()
+    matching.encode("utf-8")
+    replace.encode("utf-8")
+    assert len(replace) <= len(matching)
+    # no duplicate sources: translate uses the FIRST occurrence; a
+    # duplicate means two scan ranges overlapped
+    assert len(set(matching)) == len(matching)
