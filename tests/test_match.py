@@ -318,3 +318,40 @@ def test_reference_golden_query_with_typo_2(spark):
     points."""
     ix = _golden_index(spark)
     assert _golden_search(ix, "fer thx", 1, 3) == [1, 10, 13]
+
+
+def test_batch_rerank_text_match_matches_engine(built_index):
+    """Text-match-primary × batch: one union decode pass over every
+    query's typo/prefix candidates, full packed score (incl. the
+    typo-cost byte) as the per-query PRIMARY key — parity with
+    engine.search(rank_by_text_match=True) query by query, including
+    typo queries where the cost byte actually discriminates."""
+    from typesense_spark.search import SearchRequest, search
+    from typesense_spark.search.batch import batch_rerank_text_match
+
+    qset = [
+        ("a", "import return"),      # exact, cost byte 255
+        ("b", "improt"),             # typo: cost byte varies by candidate
+        ("c", "import retur"),       # typo'd second token
+        ("d", "class"),              # single token → Match(1, 0)
+    ]
+    kw = dict(
+        fields=("content",), num_typos=2, prefix_last=False,
+        drop_tokens_threshold=0,
+    )
+    out = batch_rerank_text_match(built_index, qset, k=8, **kw)
+    by_qid = {}
+    for r in out.collect():
+        by_qid.setdefault(r["qid"], []).append(
+            (r["rank"], r["doc_id"], r["match_score"], r["score_milli"])
+        )
+    for qid, q in qset:
+        res = search(
+            built_index,
+            SearchRequest(q=q, per_page=8, rank_by_text_match=True, **kw),
+        )
+        want = [
+            (r["rank"], r["doc_id"], r["match_score"], r["score_milli"])
+            for r in res.hits.collect()
+        ]
+        assert sorted(by_qid.get(qid, [])) == want, (qid, by_qid.get(qid), want)

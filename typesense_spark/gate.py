@@ -1352,6 +1352,26 @@ def q_batch_queries(spark, sf_dir):
     ).orderBy("qid", "rank")
 
 
+BATCH_TM_QUERIES = [
+    ("t1", "merge batch"),
+    ("t2", "window fast"),
+    ("t3", "scan filter"),
+]
+
+
+def q_batch_text_match(spark, sf_dir):
+    """Text-match-primary ranking, batched (see q_text_match): three
+    exact 2-token AND queries ranked by the full packed score in ONE
+    decode pass; the 2-token sweep reduces to min pairwise position
+    distance, so the whole batch hash-checks against SQL."""
+    from typesense_spark.search.batch import batch_rerank_text_match
+
+    return batch_rerank_text_match(
+        get_index(spark, sf_dir), BATCH_TM_QUERIES, fields=("text",),
+        num_typos=0, prefix_last=False, k=10,
+    ).orderBy("qid", "rank")
+
+
 QUERIES = {
     "exact_term": q_exact_term,
     "multi_and": q_multi_and,
@@ -1404,6 +1424,7 @@ QUERIES = {
     "events_window": q_events_window,
     "events_json": q_events_json,
     "batch_queries": q_batch_queries,
+    "batch_text_match": q_batch_text_match,
     "batch_full": q_batch_full,
     "batch_filtered": q_batch_filtered,
     "batch_facets": q_batch_facets,
@@ -1871,6 +1892,34 @@ def build_oracles() -> dict[str, str]:
         " SELECT qid, CAST(rn AS BIGINT) AS rank, doc_id, score_milli FROM ("
         "SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score_milli DESC, doc_id DESC) AS rn "
         "FROM scored) WHERE rn <= 10 ORDER BY qid, rank"
+    )
+    # batched text-match-primary: per-qid version of the text_match
+    # oracle (2-token sweep = min pairwise distance; cost byte 255)
+    tmvals = ", ".join(
+        f"('{qid}', {i}, '{t}')"
+        for qid, q in BATCH_TM_QUERIES
+        for i, t in enumerate(q.split())
+    )
+    o["batch_text_match"] = (
+        _PRELUDE
+        + f", qset(qid, qidx, term) AS (VALUES {tmvals})"
+        ", per_tok AS (SELECT qset.qid, contrib.doc_id, qset.qidx, "
+        "max(contrib.c) AS best FROM contrib JOIN qset USING (term) GROUP BY 1, 2, 3)"
+        ", scored AS (SELECT qid, doc_id, CAST(sum(best) AS BIGINT) AS score_milli "
+        "FROM per_tok GROUP BY qid, doc_id HAVING count(*) = 2)"
+        ", mind AS (SELECT q1.qid, t1.doc_id, min(abs(t1.pos - t2.pos)) AS d "
+        "FROM qset q1 JOIN tok t1 ON t1.term = q1.term AND q1.qidx = 0 "
+        "JOIN qset q2 ON q2.qid = q1.qid AND q2.qidx = 1 "
+        "JOIN tok t2 ON t2.term = q2.term AND t2.doc_id = t1.doc_id "
+        "GROUP BY 1, 2)"
+        ", ms AS (SELECT s.qid, s.doc_id, s.score_milli, CAST(CASE WHEN m.d <= 10 "
+        "THEN (2 * 65536) + (255 * 256) + (100 - m.d) "
+        "ELSE 65536 + (255 * 256) + 100 END AS BIGINT) AS match_score "
+        "FROM scored s JOIN mind m ON m.qid = s.qid AND m.doc_id = s.doc_id)"
+        " SELECT qid, CAST(rn AS BIGINT) AS rank, doc_id, match_score, score_milli "
+        "FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY "
+        "match_score DESC, score_milli DESC, doc_id DESC) AS rn FROM ms) "
+        "WHERE rn <= 10 ORDER BY qid, rank"
     )
     o["batch_full"] = batch_full_oracle()
     o["batch_filtered"] = batch_filtered_oracle()

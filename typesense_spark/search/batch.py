@@ -236,6 +236,26 @@ def _batch_matched(
                 if _has_exact(tok, pref) or _has_exact(tok, not pref):
                     pm.setdefault(qid, set()).add(tok)
         _meta["prox_terms"] = {q: sorted(s) for q, s in pm.items()}
+        # per-qid text-match specs (term, slot, adjusted cost) from the
+        # attempt-0 vector — the engine's text_match_rescore input,
+        # incl. the reference's +1 length-extension cost on candidates
+        # whose leaf length differs from the query token
+        # (src/index.cpp:2038-2040); synonym alternates merge at cost 0
+        # like the engine's attempt-loop merge. Consumed by
+        # batch_rerank_text_match.
+        tm: dict[str, set] = {}
+        for _v, qid, aidx, toks in vectors:
+            if aidx != 0:
+                continue
+            for i, tok in enumerate(toks):
+                s = (tok, prefix_last and i == len(toks) - 1)
+                cands = list(cand_map.get(s, [])) + [
+                    (a, 0) for a in alt_of.get(s, [])
+                ]
+                for t, c in cands:
+                    adj = c + (1 if len(t) != len(tok) else 0)
+                    tm.setdefault(qid, set()).add((t, i, adj))
+        _meta["tm_specs"] = {q: sorted(s) for q, s in tm.items()}
 
     # ---- candidate rows: one row per (vector, token-slot, candidate) ------
     rows: list[tuple[int, str, int, int, str, int, int, int]] = []
@@ -669,6 +689,55 @@ def batch_rerank_proximity(
         ranked.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select("qid", "rank", "doc_id", "score_milli")
+    )
+
+
+def batch_rerank_text_match(
+    index: Index,
+    queries: list[tuple[str, str]],
+    k: int = 10,
+    **kw,
+) -> DataFrame:
+    """Per-query text-match-PRIMARY ranking (the engine's
+    ``rank_by_text_match`` parity mode, batched): (qid, rank, doc_id,
+    match_score, score_milli), ordered per qid by the FULL packed score
+    — ``(words<<16)|(255-typo_cost)<<8|proximity``, the reference's
+    default primary key incl. the typo-cost byte
+    (src/collection.cpp:713-728, match_score.h:49-57) — then BM25,
+    then doc_id DESC.
+
+    One decode pass over the union of every query's typo/prefix
+    candidates (:func:`match.text_match_rescore_batch`); specs come
+    from the batch expansion itself (attempt-0 vectors, costs carrying
+    the +1 length-extension adjustment). Per-query parity with
+    ``engine.search(rank_by_text_match=True)`` is asserted in
+    tests/test_match.py for non-deepened queries (with
+    ``typo_tokens_threshold`` the engine may restrict candidates to
+    its per-query stop level — pass deepening kwargs here only if that
+    divergence is acceptable). Accepts every :func:`batch_search`
+    keyword."""
+    from typesense_spark.search.match import text_match_rescore_batch
+
+    meta: dict = {}
+    merged = _batch_matched(index, queries, _meta=meta, **kw)
+    tm = text_match_rescore_batch(
+        index,
+        merged.select("qid", "doc_id"),
+        meta.get("tm_specs", {}),
+        list(kw.get("fields", ("content",))),
+    )
+    ranked = merged.join(tm, ["qid", "doc_id"], "left").withColumn(
+        "match_score", F.coalesce("match_score", F.lit(0)).cast("long")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("match_score").desc(),
+        F.col("score_milli").desc(),
+        F.col("doc_id").desc(),
+    )
+    return (
+        ranked.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", "match_score", "score_milli")
     )
 
 

@@ -366,6 +366,81 @@ def text_match_rescore(
     return agg.select("doc_id", score_udf(F.col("scp")).alias("match_score"))
 
 
+def text_match_rescore_batch(
+    index,
+    qid_doc_df,
+    specs_by_qid: "dict[str, list[tuple[str, int, int]]]",
+    fields: list[str],
+):
+    """Batched :func:`text_match_rescore`: (qid, doc_id) pairs →
+    (qid, doc_id, match_score) for N queries in ONE decode pass, the
+    same union-prune-decode shape as :func:`proximity_rescore_batch`.
+
+    ``specs_by_qid``: per qid the (candidate term, token slot, adjusted
+    cost) triples (costs already carry the reference's +1
+    length-extension). A broadcast (qid, tid, slot, cost) map fans each
+    decoded (doc, term) row out to the querying slots; per (qid, doc,
+    slot) the MIN-cost candidate present wins (equal-min positions
+    union), total_cost sums over matched slots — identical resolution
+    to the single-query path (same scoring UDF body)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    spark = index.spark
+    all_terms = sorted(
+        {t for lst in specs_by_qid.values() for t, _, _ in lst}
+    )
+    if not all_terms:
+        return spark.createDataFrame(
+            [], schema="qid string, doc_id long, match_score long"
+        )
+    term_order = {t: i for i, t in enumerate(all_terms)}
+    blocks = index.candidate_postings(all_terms, fields)
+    pruned = candidate_blocks(index, blocks, qid_doc_df.select("doc_id").distinct())
+    per_term = decode_positions_df(pruned, term_order)
+    smap = spark.createDataFrame(
+        sorted(
+            {
+                (q, term_order[t], int(slot), int(c))
+                for q, lst in specs_by_qid.items()
+                for t, slot, c in lst
+            }
+        ),
+        schema="qid string, tid int, slot int, cost int",
+    )
+    cand = per_term.join(F.broadcast(smap), "tid").join(
+        qid_doc_df, ["qid", "doc_id"], "left_semi"
+    )
+    agg = cand.groupBy("qid", "doc_id").agg(
+        F.collect_list(F.struct("slot", "cost", "positions")).alias("scp")
+    )
+
+    def _score_batch(scp_series):
+        out = []
+        for lst in scp_series:
+            by_slot: dict[int, tuple[int, list[int]]] = {}
+            for r in lst:
+                s, c = int(r["slot"]), int(r["cost"])
+                cur = by_slot.get(s)
+                if cur is None or c < cur[0]:
+                    by_slot[s] = (c, [int(x) for x in r["positions"]])
+                elif c == cur[0]:
+                    cur[1].extend(int(x) for x in r["positions"])
+            total = min(sum(c for c, _ in by_slot.values()), 255)
+            lists = [sorted(ps) for _s, (_c, ps) in sorted(by_slot.items())]
+            if len(lists) == 1:
+                words, dist = 1, 0  # reference single-token Match(1, 0)
+            else:
+                words, dist, _ = match_window(lists)
+            out.append((words << 16) | ((255 - total) << 8) | dist)
+        return pd.Series(out, dtype="int64")
+
+    score_udf = F.pandas_udf(_score_batch, "long")
+    return agg.select(
+        "qid", "doc_id", score_udf(F.col("scp")).alias("match_score")
+    )
+
+
 SNIPPET_AFFIX_TOKENS = 4  # reference highlight_affix_num_tokens
 SNIPPET_THRESHOLD = 30  # reference snippet_threshold default
 
