@@ -278,11 +278,16 @@ def _golden_index(spark):
     )
     return build_index(
         spark, docs, fields=["title"], id_col="doc_id", num_buckets=4,
-        block_size=32,
+        block_size=32, score_col="points",  # MAX_SCORE token ordering
     )
 
 
-def _golden_search(ix, q, num_typos, per_page):
+def _golden_search(ix, q, num_typos, per_page, **kw):
+    ids, _found = _golden_search_found(ix, q, num_typos, per_page, **kw)
+    return ids
+
+
+def _golden_search_found(ix, q, num_typos, per_page, points_dir="desc", **kw):
     from typesense_spark.search import SearchRequest, search
 
     res = search(
@@ -290,10 +295,11 @@ def _golden_search(ix, q, num_typos, per_page):
         SearchRequest(
             q=q, fields=("title",), num_typos=num_typos, per_page=per_page,
             prefix_last=False,  # reference search() default prefix=false
-            rank_by_text_match=True, sort_by=(("points", "desc"),),
+            rank_by_text_match=True, sort_by=(("points", points_dir),),
+            **kw,
         ),
     )
-    return [r["doc_id"] for r in res.hits.orderBy("rank").collect()]
+    return [r["doc_id"] for r in res.hits.orderBy("rank").collect()], res.found
 
 
 def test_reference_golden_exact_search_stable(spark):
@@ -318,6 +324,95 @@ def test_reference_golden_query_with_typo_2(spark):
     points."""
     ix = _golden_index(spark)
     assert _golden_search(ix, "fer thx", 1, 3) == [1, 10, 13]
+
+
+def test_reference_golden_phrase_search(spark):
+    """collection_test.cpp PhraseSearch: q='rocket launch', 0 typos →
+    {8, 1, 17, 16, 13}: two-word windows rank by proximity diff
+    (8 diff 0, then 1/17 diff 4 split by points, 16 diff 5), the
+    single-word match (13) last via drop-tokens."""
+    ix = _golden_index(spark)
+    ids, found = _golden_search_found(ix, "rocket launch", 0, 10)
+    assert ids == [8, 1, 17, 16, 13]
+    assert found == 5
+    # points ASC flips the equal-match 1/17 pair (score 15 vs 8) and
+    # nothing else (collection_test.cpp:176-189)
+    assert _golden_search(ix, "rocket launch", 0, 10,
+                          points_dir="asc") == [8, 17, 1, 16, 13]
+    # pagination: per_page 3 = the same ordering's prefix
+    assert _golden_search(ix, "rocket launch", 0, 3) == [8, 1, 17]
+
+
+def test_reference_golden_partial_phrase(spark):
+    """collection_test.cpp PartialPhraseSearch: q='rocket research' →
+    {19, 1, 10, 8, 16, 17} — only 19 has both words; the rest surface
+    through the drop-tokens union, points DESC within equal match."""
+    ix = _golden_index(spark)
+    assert _golden_search(ix, "rocket research", 0, 10) == [19, 1, 10, 8, 16, 17]
+
+
+def test_reference_golden_excluded_tokens(spark):
+    """collection_test.cpp SearchWithExcludedTokens: 'how -propellants
+    -are' → {9, 17}; exclusion-only queries promote to wildcard and
+    subtract ('-rocket' → 21 of 25 docs; '-rocket -cryovolcanism' →
+    20)."""
+    ix = _golden_index(spark)
+    assert _golden_search(ix, "how -propellants -are", 0, 10) == [9, 17]
+    _ids, found = _golden_search_found(ix, "-rocket", 0, 50)
+    assert found == 21
+    _ids, found = _golden_search_found(ix, "-rocket -cryovolcanism", 0, 50)
+    assert found == 20
+
+
+def test_reference_golden_skip_unindexed_tokens(spark):
+    """collection_test.cpp SkipUnindexedTokensDuringPhraseSearch: query
+    tokens absent from the index drop out instead of zeroing results —
+    'DoesNotExist from' → {2, 17} at 0 AND 1 typos; 'from DoesNotExist
+    insTruments' (1 typo) → {2, 17}."""
+    ix = _golden_index(spark)
+    assert _golden_search(ix, "DoesNotExist from", 0, 10) == [2, 17]
+    assert _golden_search(ix, "DoesNotExist from", 1, 10) == [2, 17]
+    assert _golden_search(ix, "from DoesNotExist insTruments", 1, 10) == [2, 17]
+    # no-drop mode: threshold 0 keeps both tokens mandatory
+    assert _golden_search(ix, "the a", 0, 10,
+                          drop_tokens_threshold=0) == [8, 16, 10]
+    ids, _found = _golden_search_found(ix, "the a", 0, 10)
+    assert len(ids) == 9  # threshold 10 (default): dropped-token union
+    assert _golden_search(ix, "the a DoesNotExist", 0, 10,
+                          drop_tokens_threshold=0) == []
+    assert _golden_search(ix, "DoesNotExist1 DoesNotExist2", 0, 10) == []
+    assert _golden_search(ix, "DoesNotExist1 DoesNotExist2", 2, 10) == []
+
+
+def test_reference_golden_typo_rank_frequency_vs_max_score(spark):
+    """collection_test.cpp TypoTokenRankedByScoreAndFrequency: 'loox'
+    (1 typo) — candidate ordering MAX_SCORE vs FREQUENCY both converge
+    to {22, 3, 12, 23, 24} (match tie → points DESC); found is 5 at
+    every page size."""
+    ix = _golden_index(spark)
+    assert _golden_search(ix, "loox", 1, 2,
+                          rank_tokens_by="max_score") == [22, 3]
+    assert _golden_search(ix, "loox", 1, 3) == [22, 3, 12]
+    ids, found = _golden_search_found(ix, "loox", 1, 1)
+    assert (ids, found) == ([22], 5)
+    assert _golden_search(ix, "loox", 1, 10) == [22, 3, 12, 23, 24]
+    assert _golden_search(ix, "loox", 1, 10,
+                          rank_tokens_by="max_score") == [22, 3, 12, 23, 24]
+
+
+def test_reference_golden_actual_typo_correction(spark):
+    """collection_test.cpp TextContainingAnActualTypo: 'ISX what' →
+    ISX corrects to ISS, two-word windows first {19, 6, 21, 8}
+    (found 13); bare 'ISX' → the doc with the EXACT token (20, the
+    corpus's real typo) outranks every cost-1 correction via the
+    typo-cost byte, then points: {20, 19, 6, 3, 21, 4, 10, 8}."""
+    ix = _golden_index(spark)
+    ids, found = _golden_search_found(ix, "ISX what", 1, 4)
+    assert ids == [19, 6, 21, 8]
+    assert found == 13
+    ids, found = _golden_search_found(ix, "ISX", 1, 10)
+    assert ids == [20, 19, 6, 3, 21, 4, 10, 8]
+    assert found == 8
 
 
 def test_batch_rerank_text_match_matches_engine(built_index):

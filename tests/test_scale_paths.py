@@ -235,16 +235,24 @@ def test_rank_tokens_by_max_score_parity(spark):
 
 
 def test_spark_expand_empty_tokens(built_index):
-    """Exclusion-only / empty queries must behave identically on the
-    Spark-expansion route (no crash, empty result)."""
+    """Exclusion-only queries promote to wildcard-minus-excludes
+    (reference src/collection.cpp:1189-1192) and must behave identically
+    on the Spark-expansion route: the doc universe minus every doc
+    containing the excluded term, never a crash or a silent empty."""
     from typesense_spark.search.engine import SearchRequest, search
 
+    total = built_index.docs.count()
+    with_term = (
+        built_index.decoded(["import"], ["content"]).select("doc_id").distinct().count()
+    )
+    assert 0 < with_term < total  # premise: 'import' splits the corpus
     built_index.expand_collect_threshold = 0
     try:
         res = search(
-            built_index, SearchRequest(q="-import", fields=("content",), num_typos=0)
+            built_index,
+            SearchRequest(q="-import", fields=("content",), num_typos=0, per_page=250),
         )
-        assert res.hits.count() == 0
+        assert res.found == total - with_term
     finally:
         del built_index.expand_collect_threshold
 

@@ -385,6 +385,25 @@ def q_weighted_fields(spark, sf_dir):
     )
 
 
+def q_exclusion_only(spark, sf_dir):
+    """Q1+Q8: exclusion-only query promotes to wildcard-minus-excludes
+    (reference q_include_tokens fallback, src/collection.cpp:1189-1192);
+    attribute sort orders the surviving universe."""
+    res = _search(
+        spark,
+        sf_dir,
+        q="-merge",
+        num_typos=0,
+        sort_by=(("n_chars", "desc"),),
+        include_fields=("n_chars",),
+    )
+    return res.hits.select(
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
 def q_wildcard(spark, sf_dir):
     """Q10: wildcard q=* with filter + attribute sort."""
     res = _search(
@@ -1377,6 +1396,7 @@ QUERIES = {
     "multi_and": q_multi_and,
     "multi_or": q_multi_or,
     "exclusion": q_exclusion,
+    "exclusion_only": q_exclusion_only,
     "typo": q_typo,
     "typo_osa": q_typo_osa,
     "typo_osa2": q_typo_osa2,
@@ -1457,6 +1477,13 @@ def build_oracles() -> dict[str, str]:
         + ", excl AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'batch')"
         + ", scored2 AS (SELECT * FROM scored WHERE doc_id NOT IN (SELECT doc_id FROM excl))"
         + _hits_sql().replace("FROM scored)", "FROM scored2)")
+    )
+    o["exclusion_only"] = (
+        _PRELUDE
+        + " SELECT CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id DESC) AS BIGINT) AS rank, "
+        "doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents "
+        "WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM tok WHERE term = 'merge') "
+        "ORDER BY n_chars DESC, doc_id DESC LIMIT 10"
     )
     o["typo"] = bm25_oracle(["merg"], num_typos=2, prefix_last=True)
     # deepening stops at cost 1 (see q_typo_threshold docstring)

@@ -86,15 +86,22 @@ _SYN_BASE = 1_000_000
 
 def _attempt_plan(tokens: list[str], drop_tokens_threshold: int | None) -> list[list[str]]:
     """The engine's drop-tokens schedule (reference src/index.cpp:1757-1783):
-    attempt 0 is the full vector; for drop count d = 1..n-1, keep
-    tokens[:n-d] while d <= n//2, else tokens[d - n//2:]."""
+    attempt 0 is the full vector; for drop counter d = 1..n, keep
+    tokens[:n-d] while d <= n//2 (drop from the right), else
+    tokens[d - n//2:] (drop from the left). d runs to n, not n-1 —
+    the reference recurses while num_tokens_dropped < n BEFORE
+    incrementing, so a 2-token query tries [t0] AND [t1]
+    (PhraseSearch's single-word tail hits depend on it); the d = n
+    left-drop for n = 1 is empty and is skipped."""
     if not drop_tokens_threshold or len(tokens) <= 1:
         return [tokens]
     n = len(tokens)
-    return [tokens] + [
-        tokens[: n - d] if d <= n // 2 else tokens[d - n // 2 :]
-        for d in range(1, n)
-    ]
+    out = [tokens]
+    for d in range(1, n + 1):
+        t = tokens[: n - d] if d <= n // 2 else tokens[d - n // 2 :]
+        if t:
+            out.append(t)
+    return out
 
 
 def _expand_specs(
@@ -175,36 +182,75 @@ def _batch_matched(
     # ---- unroll queries to scoring vectors --------------------------------
     # vector = (vec_id, qid, attempt_idx, tokens); organic attempts carry
     # their plan index, synonym variants an index above _SYN_BASE
-    vectors: list[tuple[int, str, int, list[str]]] = []
     excl_rows: list[tuple[str, str]] = []  # (qid, excluded term)
-    vid = 0
+    qtokens: list[tuple[str, list[str]]] = []  # parse order preserved
     for qid, q in queries:
         tokens, excludes = parse_query(q)
         for t in excludes:
             excl_rows.append((qid, t))
-        if not tokens:
+        if not tokens or tokens == ["*"]:
+            # wildcard (incl. the exclusion-only promotion) is a
+            # doc-universe scan, not a postings query — per-query
+            # engine.search handles it; the batch plan skips the qid
             continue
-        for aidx, attempt in enumerate(_attempt_plan(tokens, drop_tokens_threshold)):
-            vectors.append((vid, qid, aidx, attempt))
-            vid += 1
-        if synonym_store is not None:
-            from typesense_spark.search.synonyms import synonym_reduction
+        qtokens.append((qid, tokens))
 
-            for si, vtoks in enumerate(synonym_reduction(tokens, synonym_store)):
-                vectors.append((vid, qid, _SYN_BASE + si, vtoks))
+    def _unroll(organic: dict[str, list[str]]) -> list[tuple[int, str, int, list[str]]]:
+        """Attempt + synonym vectors per qid; synonym windows rewrite
+        the RAW query (reference reduces synonyms at the collection
+        layer before the index-level skip)."""
+        out: list[tuple[int, str, int, list[str]]] = []
+        vid = 0
+        for qid, tokens in qtokens:
+            for aidx, attempt in enumerate(
+                _attempt_plan(organic.get(qid, tokens), drop_tokens_threshold)
+            ):
+                out.append((vid, qid, aidx, attempt))
                 vid += 1
+            if synonym_store is not None:
+                from typesense_spark.search.synonyms import synonym_reduction
 
-    specs = sorted(
-        {
+                for si, vtoks in enumerate(synonym_reduction(tokens, synonym_store)):
+                    out.append((vid, qid, _SYN_BASE + si, vtoks))
+                    vid += 1
+        return out
+
+    def _spec_set(vecs) -> set[tuple[str, bool]]:
+        return {
             (tok, prefix_last and i == len(toks) - 1)
-            for _v, _q, _a, toks in vectors
+            for _v, _q, _a, toks in vecs
             for i, tok in enumerate(toks)
-        }
-        | {(a, False) for alts in (synonyms or {}).values() for a in alts}
-    )
+        } | {(a, False) for alts in (synonyms or {}).values() for a in alts}
+
+    vectors = _unroll({})
+    specs = sorted(_spec_set(vectors))
     if not specs:
         return spark.createDataFrame([], schema=_MATCHED_SCHEMA)
     cand_map = _expand_specs(index, specs, fields, num_typos, typo_distance)
+
+    # Unindexed-token skip, mirroring engine.search (reference erases
+    # zero-candidate tokens from the vector and continues the AND over
+    # survivors, src/index.cpp:1716-1726 — only when the fallback may
+    # continue, i.e. drop_tokens_threshold > 0; a threshold-0 query
+    # keeps its dead token and produces the reference's empty AND).
+    if drop_tokens_threshold and drop_tokens_threshold > 0:
+        erased: dict[str, list[str]] = {}
+        for qid, tokens in qtokens:
+            if len(tokens) <= 1:
+                continue
+            alive = [
+                t for i, t in enumerate(tokens)
+                if cand_map.get((t, prefix_last and i == len(tokens) - 1))
+            ]
+            if alive and len(alive) < len(tokens):
+                erased[qid] = alive
+        if erased:
+            vectors = _unroll(erased)
+            missing = sorted(_spec_set(vectors) - set(cand_map))
+            if missing:  # prefix moved to a new last token
+                cand_map.update(
+                    _expand_specs(index, missing, fields, num_typos, typo_distance)
+                )
     alt_of: dict[tuple[str, bool], list[str]] = {}
     if synonyms:
         # single-token alternates join the token's candidate set at cost

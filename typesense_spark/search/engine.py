@@ -240,7 +240,11 @@ def _persist_scored(df: DataFrame) -> DataFrame:
 def parse_query(q: str) -> tuple[list[str], list[str]]:
     """Reference Q1: '-tok' → exclude list; '*' → wildcard
     (src/collection.cpp:1166-1195). Tokens are run through the pinned
-    tokenizer so query-side normalization == index-side."""
+    tokenizer so query-side normalization == index-side. An empty
+    include list (exclusion-only query like '-rocket', or an empty /
+    all-punctuation q) promotes to wildcard, exactly the reference's
+    q_include_tokens fallback (src/collection.cpp:1189-1192) — the
+    excludes then subtract from the doc universe."""
     include, exclude = [], []
     for raw in q.split(" "):
         if raw.startswith("-") and len(raw) > 1:
@@ -249,6 +253,8 @@ def parse_query(q: str) -> tuple[list[str], list[str]]:
             include.append("*")
         else:
             include.extend(tokenize_terms(raw))
+    if not include:
+        include.append("*")
     return include, exclude
 
 
@@ -658,26 +664,17 @@ def search(index: Index, req: SearchRequest) -> SearchResult:
         raise ValueError("query_by_weights must be parallel to fields")
 
     if tokens == ["*"]:
-        # Q10 wildcard: doc universe, scored 0, attribute-sorted
+        # Q10 wildcard: doc universe, scored 0, attribute-sorted.
+        # Excludes still subtract ('* -tok', and the exclusion-only
+        # promotion in parse_query) — reference wildcard path runs the
+        # same exclusion filter as keyword search.
         matched = docs.select("doc_id", F.lit(0).cast("long").alias("score_milli"))
+        matched = _apply_excludes(index, matched, excludes, req.fields)
         attempts = [["*"]]
         all_cands: dict[str, list[tuple[str, int]]] = {}
     else:
         spark_expand = _use_spark_expand(index, req.fields)
         term_df = None if spark_expand else _get_term_df(index, req.fields)
-        # Q16 drop-tokens driver loop (reference src/index.cpp:1757-1783):
-        # for drop count d = 1..n-1, keep tokens[:n-d] while d <= n//2,
-        # else tokens[d - n//2:]; results accumulate across attempts
-        # (dedup by doc, max score); stop once found >= threshold.
-        n = len(tokens)
-        plan = [tokens] + [
-            tokens[: n - d] if d <= n // 2 else tokens[d - n // 2 :]
-            for d in range(1, n)
-        ]
-        matched = None
-        attempts = []
-        all_cands = {}
-
         by_score = req.rank_tokens_by == "max_score"
 
         def _expand(attempt: list[str]) -> dict[str, list[tuple[str, int]]]:
@@ -691,6 +688,43 @@ def search(index: Index, req: SearchRequest) -> SearchResult:
                 attempt, term_df, req.num_typos, req.prefix_last, req.typo_distance,
                 rank=_get_term_rank(index, req.fields) if by_score else None,
             )
+
+        # Unindexed-token skip (reference SkipUnindexedTokensDuringPhrase-
+        # Search): a token with ZERO candidates at every cost is ERASED
+        # from the vector and the AND continues over the survivors
+        # (src/index.cpp:1716-1726 erases from token_to_costs /
+        # search_tokens / query_tokens, so the later drop-tokens
+        # recursion also runs on the erased vector). Only when the
+        # fallback is allowed to continue — with drop_tokens_threshold
+        # <= 0 the reference aborts at the first cost-combination miss
+        # (resume_typo_loop, src/index.cpp:1749-1752) and returns the
+        # empty AND, which the un-erased vector reproduces below.
+        raw_tokens = tokens  # synonym windows rewrite the RAW query —
+        # the reference reduces synonyms at the collection layer BEFORE
+        # the index-level skip (src/collection.cpp synonym reduction)
+        cand0 = _expand(tokens)
+        if req.drop_tokens_threshold > 0 and len(tokens) > 1:
+            alive = [t for t in tokens if cand0.get(t)]
+            if alive and len(alive) < len(tokens):
+                tokens = alive
+                cand0 = _expand(tokens)  # prefix may move to a new last token
+
+        # Q16 drop-tokens driver loop (reference src/index.cpp:1757-1783):
+        # for drop counter d = 1..n, keep tokens[:n-d] while d <= n//2
+        # (right-drop), else tokens[d - n//2:] (left-drop — d reaches n
+        # because the reference recurses while num_tokens_dropped < n
+        # BEFORE incrementing, so 2 tokens try [t0] AND [t1]); results
+        # accumulate across attempts (dedup by doc, max score); stop
+        # once found >= threshold. Empty left-drops (n = 1) skipped.
+        n = len(tokens)
+        plan = [tokens]
+        for d in range(1, n + 1):
+            t = tokens[: n - d] if d <= n // 2 else tokens[d - n // 2 :]
+            if t:
+                plan.append(t)
+        matched = None
+        attempts = []
+        all_cands = {}
 
         def _merge(acc: DataFrame | None, scored: DataFrame) -> DataFrame:
             if acc is None:
@@ -719,7 +753,9 @@ def search(index: Index, req: SearchRequest) -> SearchResult:
             return out
 
         for attempt in plan:
-            cand = _expand(attempt)
+            # attempt 0 IS the (possibly erased) full vector — its
+            # expansion was already computed by the skip probe above
+            cand = dict(cand0) if attempt is plan[0] else _expand(attempt)
             deep_scored: DataFrame | None = None
             if req.typo_tokens_threshold is not None and req.num_typos > 0:
                 # ONE probe job picks the stop level (r4 VERDICT #8; the
@@ -791,7 +827,7 @@ def search(index: Index, req: SearchRequest) -> SearchResult:
         if req.synonym_store is not None:
             from typesense_spark.search.synonyms import synonym_reduction
 
-            for vtoks in synonym_reduction(tokens, req.synonym_store):
+            for vtoks in synonym_reduction(raw_tokens, req.synonym_store):
                 vcand = _expand(vtoks)
                 all_cands.update(vcand)
                 vscored = _score_tokens(
