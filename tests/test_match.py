@@ -295,7 +295,10 @@ def _golden_search_found(ix, q, num_typos, per_page, points_dir="desc", **kw):
         SearchRequest(
             q=q, fields=("title",), num_typos=num_typos, per_page=per_page,
             prefix_last=False,  # reference search() default prefix=false
-            rank_by_text_match=True, sort_by=(("points", points_dir),),
+            rank_by_text_match=True,
+            # the harness's explicit sort fields (collection_test.cpp:36):
+            # { text_match DESC, points DESC } — _text_match placed first
+            sort_by=(("_text_match", "desc"), ("points", points_dir)),
             **kw,
         ),
     )
@@ -413,6 +416,63 @@ def test_reference_golden_actual_typo_correction(spark):
     ids, found = _golden_search_found(ix, "ISX", 1, 10)
     assert ids == [20, 19, 6, 3, 21, 4, 10, 8]
     assert found == 8
+
+
+def _multi_field_index(spark):
+    """collection_sorting_test.cpp harness: multi_field_documents.jsonl
+    (fixtures/reference_multi_field_documents.jsonl), auto ids 0..17, no
+    dummy record."""
+    import json
+    import os
+
+    from typesense_spark.index import build_index
+
+    fix = os.path.join(os.path.dirname(__file__), "..", "fixtures",
+                       "reference_multi_field_documents.jsonl")
+    rows = []
+    with open(fix) as f:
+        for i, line in enumerate(f):
+            d = json.loads(line)
+            rows.append((i, d["title"], int(d["points"])))
+    docs = spark.createDataFrame(
+        rows, schema="doc_id long, title string, points long"
+    )
+    return build_index(
+        spark, docs, fields=["title"], id_col="doc_id", num_buckets=4,
+        block_size=32, score_col="points",
+    )
+
+
+def test_reference_golden_sorting_order(spark):
+    """collection_sorting_test.cpp SortingOrder: USER-sort-primary —
+    sort_by points ASC resolves to [points asc, text_match desc]
+    (the reference APPENDS _text_match when absent,
+    src/collection.cpp:726-728); DESC mirrors it; with the resolved
+    default [text_match desc, points desc] equal-match hits order by
+    points."""
+    from typesense_spark.search import SearchRequest, search
+
+    ix = _multi_field_index(spark)
+
+    def run(q, sort_by, per_page):
+        res = search(
+            ix,
+            SearchRequest(
+                q=q, fields=("title",), num_typos=0, per_page=per_page,
+                prefix_last=False, rank_by_text_match=True, sort_by=sort_by,
+            ),
+        )
+        return [r["doc_id"] for r in res.hits.orderBy("rank").collect()]
+
+    asc = (("points", "asc"),)
+    assert run("the", asc, 15) == [17, 13, 10, 4, 0, 1, 8, 6, 16, 11]
+    assert run("the", asc, 5) == [17, 13, 10, 4, 0]
+    assert run("the", (("points", "desc"),), 15) == [
+        11, 16, 6, 8, 1, 0, 10, 4, 13, 17]
+    # empty sort_by upstream-resolves to [text_match, default sorting
+    # field] (src/collection.cpp:713-716) — points IS the dsf here
+    assert run("of", (("_text_match", "desc"), ("points", "desc")), 10) == [
+        11, 12, 5, 4, 17]
 
 
 def test_batch_rerank_text_match_matches_engine(built_index):

@@ -38,6 +38,7 @@ from typesense_spark.search.expand import expand_query, expand_query_spark
 from typesense_spark.tokenizer import tokenize_terms
 
 DEFAULT_PER_PAGE = 10  # reference: src/core_api.cpp:351
+TEXT_MATCH_FIELD = "_text_match"  # reference: sort_field_const::text_match
 MAX_HITS = 250  # reference: src/core_api.cpp:324-329
 PER_PAGE_MAX = 250  # reference: include/collection.h:414
 GROUP_LIMIT_MAX = 99  # reference: include/collection.h:416
@@ -134,8 +135,12 @@ class SearchRequest:
     # packed score INCLUDING the typo-cost byte —
     # (words<<16)|(255-total_cost)<<8|distance, the reference's DEFAULT
     # primary key (_text_match injected at src/collection.cpp:713-728;
-    # packing include/match_score.h:49-57) — with BM25 demoted to a
-    # tie-break after any sort_by fields. Unlike rerank_proximity (cost
+    # packing include/match_score.h:49-57). Sort-field resolution
+    # follows src/collection.cpp:708-728: '_text_match' may appear
+    # ANYWHERE in sort_by (user-sort-primary when listed after user
+    # fields); absent and < 3 fields → appended last; sort_by empty →
+    # text_match leads with BM25 as the default_sorting_field stand-in.
+    # Unlike rerank_proximity (cost
     # byte fixed at 255), the cost byte carries the sum of used
     # candidates' typo costs +1 per length-extension match
     # (src/index.cpp:2038-2040). Golden orderings from the reference's
@@ -925,22 +930,40 @@ def search(index: Index, req: SearchRequest) -> SearchResult:
     # then explicit sort_by, then score DESC, doc_id DESC (reference
     # tie-break, topster.h:254-257)
     order = []
-    if (req.rerank_proximity or req.rank_by_text_match) and tokens != ["*"]:
-        order.append(F.col("match_score").desc())
-    order += [
-        (F.col(c).desc() if d.lower() == "desc" else F.col(c).asc())
-        for c, d in req.sort_by
-    ]
-    if req.rank_by_text_match and req.sort_by and tokens != ["*"]:
-        # reference parity: with explicit sort fields the order is
-        # (text_match, *sort_by, seq_id DESC) — topster.h:254-257; BM25
-        # (which the reference does not compute) must NOT slip in
-        # between sort_by ties and the doc_id tie-break, or golden
-        # orderings like ExactSearchShouldBeStable's points-tied run
-        # diverge. With no sort_by, BM25 plays the reference's
-        # default_sorting_field role below.
-        order += [F.col("doc_id").desc()]
+    if req.rank_by_text_match and tokens != ["*"]:
+        # Reference sort-field resolution (src/collection.cpp:708-728):
+        # the user may place `_text_match` ANYWHERE in sort_by
+        # (user-sort-primary: sort_by points ASC → [points asc,
+        # text_match desc] — CollectionSortingTest SortingOrder); when
+        # absent and fewer than 3 fields are given, text_match is
+        # APPENDED; with no sort_by at all it leads and BM25 plays the
+        # default_sorting_field role. Final tie = seq id DESC
+        # (topster.h:254-257) — BM25 (which the reference does not
+        # compute) must NOT slip between sort_by ties and the doc_id
+        # tie-break, or golden orderings like ExactSearchShouldBe-
+        # Stable's points-tied run diverge.
+        if req.sort_by:
+            keys = list(req.sort_by)
+            if TEXT_MATCH_FIELD not in [c for c, _ in keys] and len(keys) < 3:
+                keys.append((TEXT_MATCH_FIELD, "desc"))
+            for c, d in keys:
+                col = F.col("match_score") if c == TEXT_MATCH_FIELD else F.col(c)
+                order.append(col.desc() if d.lower() == "desc" else col.asc())
+            order.append(F.col("doc_id").desc())
+        else:
+            order += [
+                F.col("match_score").desc(),
+                F.col("score_milli").desc(),
+                F.col("doc_id").desc(),
+            ]
     else:
+        if req.rerank_proximity and tokens != ["*"]:
+            order.append(F.col("match_score").desc())
+        order += [
+            (F.col(c).desc() if d.lower() == "desc" else F.col(c).asc())
+            for c, d in req.sort_by
+            if c != TEXT_MATCH_FIELD  # wildcard / BM25 modes: score 0 or N/A
+        ]
         order += [F.col("score_milli").desc(), F.col("doc_id").desc()]
 
     # reference exclude_fields: resolve the effective projection list
