@@ -206,6 +206,586 @@ TF_SCHEMA = T.StructType(
 )
 
 
+# ASCII tokenize lookup table (vectorized fast path): kept chars map to
+# their lowercased selves, the two separators (space / newline — the
+# pinned split set) both map to 0x20, everything else maps to 0 and is
+# deleted in place — exactly the `_FULL_STRIP_RE` + split semantics of
+# tokenizer.tokenize's ASCII branch (positions = raw slot index,
+# keep_empty: empty slots consume positions but emit no term).
+_TOKEN_LUT = np.zeros(256, dtype=np.uint8)
+for _c in range(ord("a"), ord("z") + 1):
+    _TOKEN_LUT[_c] = _c
+for _c in range(ord("A"), ord("Z") + 1):
+    _TOKEN_LUT[_c] = _c + 32
+for _c in range(ord("0"), ord("9") + 1):
+    _TOKEN_LUT[_c] = _c
+_TOKEN_LUT[ord(" ")] = 0x20
+_TOKEN_LUT[ord("\n")] = 0x20
+
+
+def _tokenize_groups_ascii(doc_ids_np, offsets, values):
+    """Vectorized tokenize + (doc, term) grouping core for one all-ASCII
+    Arrow batch — zero per-row / per-token Python loops.
+
+    Pipeline (all numpy / pyarrow.compute):
+      byte LUT (lowercase, strip-in-place, unify separators) → boolean
+      compaction → separator positions → token slot boundaries → Arrow
+      string array built over the compacted byte buffer (no copies per
+      token) → dictionary-encode → stable fused-key argsort-group by
+      (row, term code).
+
+    Returns None (no tokens) or a dict of numpy/arrow arrays shared by
+    the TF batch builder (:func:`_tokenize_batch_ascii`) and the
+    partial-stats builder (:func:`_stats_batch_ascii`). Output
+    equivalence with the per-row ``tokenize_mapper`` (pinned spec) is
+    asserted in tests/test_index_build.py.
+    """
+    import pyarrow as pa
+
+    n_docs = doc_ids_np.size
+    mapped = _TOKEN_LUT[values]
+    keep = mapped != 0
+    cleaned = mapped[keep]
+    # kept bytes per doc via one reduceat pass (a full-length bool
+    # cumsum is 4-15x slower on this memory-bandwidth-bound box)
+    st = offsets[:-1]
+    kept_per_doc = np.add.reduceat(keep, np.minimum(st, max(values.size - 1, 0)))
+    kept_per_doc[st == offsets[1:]] = 0  # reduceat misreads empty segments
+    new_off = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(kept_per_doc, out=new_off[1:])  # doc boundaries, cleaned space
+
+    seps = cleaned == 0x20
+    sep_pos = np.flatnonzero(seps)
+    # slots per doc = separators inside the doc span + 1
+    slots = (
+        np.searchsorted(sep_pos, new_off[1:])
+        - np.searchsorted(sep_pos, new_off[:-1])
+        + 1
+    )
+    total_slots = int(slots.sum())
+    starts = np.sort(np.concatenate([new_off[:-1], sep_pos + 1]))
+    ends = np.sort(np.concatenate([sep_pos, new_off[1:]]))
+    token_doc = np.repeat(np.arange(n_docs), slots)
+    first_slot = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(slots[:-1], out=first_slot[1:])
+    pos = np.arange(total_slots) - np.repeat(first_slot, slots)
+    token_lens = ends - starts
+
+    # tokens are adjacent once separators are dropped → one offsets
+    # array over the separator-free buffer IS the token string array
+    tok_values = cleaned[~seps]
+    off_tok = np.zeros(total_slots + 1, dtype=np.int64)
+    np.cumsum(token_lens, out=off_tok[1:])
+    tokens_arr = pa.Array.from_buffers(
+        pa.utf8(),
+        total_slots,
+        [None, pa.py_buffer(off_tok.astype(np.int32)), pa.py_buffer(tok_values)],
+    )
+    denc = tokens_arr.dictionary_encode()
+    codes = denc.indices.to_numpy().astype(np.int64)
+    dictionary = denc.dictionary
+
+    nonempty = token_lens > 0
+    doc = token_doc[nonempty]
+    code = codes[nonempty]
+    pos = pos[nonempty]
+    if doc.size == 0:
+        return None
+    dl = np.bincount(doc, minlength=n_docs)
+
+    # stable single-key argsort on the fused (doc, code) key — ~4x
+    # faster than np.lexsort here; stability keeps positions ascending
+    n_dict = len(dictionary)
+    order = np.argsort(doc * np.int64(max(n_dict, 1)) + code, kind="stable")
+    sd, sc, sp = doc[order], code[order], pos[order]
+    n = sd.size
+    newgrp = np.empty(n, dtype=bool)
+    newgrp[0] = True
+    newgrp[1:] = (sd[1:] != sd[:-1]) | (sc[1:] != sc[:-1])
+    grp_idx = np.empty(n, dtype=np.int64)
+    np.cumsum(newgrp, out=grp_idx)
+    grp_idx -= 1
+    n_groups = int(grp_idx[-1]) + 1
+    tf = np.bincount(grp_idx, minlength=n_groups)
+    return {
+        "dictionary": dictionary,
+        "dl": dl,
+        "sp": sp,
+        "newgrp": newgrp,
+        "grp_idx": grp_idx,
+        "n_groups": n_groups,
+        "tf": tf,
+        "grp_doc": sd[newgrp],
+        "grp_code": sc[newgrp],
+    }
+
+
+def _const_str_array(s: str, n: int):
+    """Arrow StringArray of ``s`` repeated ``n`` times, built from raw
+    buffers (no per-row Python strings)."""
+    import pyarrow as pa
+
+    b = s.encode()
+    return pa.Array.from_buffers(
+        pa.utf8(),
+        n,
+        [
+            None,
+            pa.py_buffer((np.arange(n + 1, dtype=np.int64) * len(b)).astype(np.int32)),
+            pa.py_buffer(b * n),
+        ],
+    )
+
+
+def _tokenize_batch_ascii(doc_ids_np, offsets, values, store_positions, fld):
+    """All-ASCII Arrow batch → TF_SCHEMA RecordBatch (tf / dl /
+    delta-packed positions via ``varint_encode_offsets``)."""
+    import pyarrow as pa
+
+    g = _tokenize_groups_ascii(doc_ids_np, offsets, values)
+    if g is None:
+        return None
+    dictionary, dl = g["dictionary"], g["dl"]
+    sp, newgrp, grp_idx = g["sp"], g["newgrp"], g["grp_idx"]
+    n_groups, tf = g["n_groups"], g["tf"]
+    grp_doc, grp_code = g["grp_doc"], g["grp_code"]
+    n = sp.size
+
+    if store_positions:
+        # flat stream per group: [tf, p0, deltas...] (deltas computed in
+        # int64 first — the cross-group entries go negative before being
+        # overwritten with each group's raw first position)
+        d64 = np.empty(n, dtype=np.int64)
+        d64[0] = sp[0]
+        d64[1:] = sp[1:] - sp[:-1]
+        d64[newgrp] = sp[newgrp]
+        flat = np.empty(n + n_groups, dtype=np.uint64)
+        flat[np.flatnonzero(newgrp) + np.arange(n_groups)] = tf.astype(np.uint64)
+        flat[np.arange(n) + grp_idx + 1] = d64.astype(np.uint64)
+        buf, boffs = codec.varint_encode_offsets(flat, tf + 1)
+        pos_arr = pa.Array.from_buffers(
+            pa.binary(),
+            n_groups,
+            [None, pa.py_buffer(boffs.astype(np.int32)), pa.py_buffer(buf)],
+        )
+    else:
+        pos_arr = pa.Array.from_buffers(
+            pa.binary(),
+            n_groups,
+            [None, pa.py_buffer(np.zeros(n_groups + 1, dtype=np.int32)), pa.py_buffer(b"")],
+        )
+
+    return pa.RecordBatch.from_arrays(
+        [
+            _const_str_array(fld, n_groups),
+            pa.array(doc_ids_np[grp_doc], type=pa.int64()),
+            dictionary.take(pa.array(grp_code, type=pa.int64())),
+            pa.array(tf.astype(np.int64), type=pa.int64()),
+            pa.array(dl[grp_doc].astype(np.int64), type=pa.int64()),
+            pos_arr,
+        ],
+        names=[f.name for f in TF_SCHEMA.fields],
+    )
+
+
+# partial-stats rows (map-side pre-aggregation, guide §2.3 "aggregate
+# before you shuffle"): doc rows carry (doc_id, dl); term rows carry
+# per-batch partials (df, cf, max_tf[, max_score]) keyed by term. The
+# stats/dictionary pass previously shipped EVERY (doc, term, tf, dl)
+# row to the JVM (13.5M rows / 100k docs) and cached them; partials cut
+# the Python→JVM transfer and the aggregation input by ~50x.
+STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("field", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("term", T.StringType()),
+        T.StructField("dl", T.LongType()),
+        T.StructField("df", T.LongType()),
+        T.StructField("cf", T.LongType()),
+        T.StructField("max_tf", T.LongType()),
+        T.StructField("max_score", T.LongType()),
+    ]
+)
+
+
+def _stats_batch_ascii(doc_ids_np, offsets, values, scores_np, fld):
+    """All-ASCII Arrow batch → (doc rows, term rows) partial-stats
+    RecordBatches (see STATS_SCHEMA); ``scores_np`` optional (max_score
+    support for score_col indexes)."""
+    import pyarrow as pa
+
+    g = _tokenize_groups_ascii(doc_ids_np, offsets, values)
+    if g is None:
+        return []
+    dictionary, dl = g["dictionary"], g["dl"]
+    tf, grp_doc, grp_code = g["tf"], g["grp_doc"], g["grp_code"]
+    n_dict = len(dictionary)
+
+    out = []
+    nz = np.flatnonzero(dl)
+    n_doc_rows = nz.size
+    null_l = pa.nulls(n_doc_rows, pa.int64())
+    out.append(
+        pa.RecordBatch.from_arrays(
+            [
+                _const_str_array(fld, n_doc_rows),
+                pa.array(doc_ids_np[nz], type=pa.int64()),
+                pa.nulls(n_doc_rows, pa.string()),
+                pa.array(dl[nz].astype(np.int64), type=pa.int64()),
+                null_l,
+                null_l,
+                null_l,
+                null_l,
+            ],
+            names=[f.name for f in STATS_SCHEMA.fields],
+        )
+    )
+
+    df_p = np.bincount(grp_code, minlength=n_dict)
+    cf_p = np.bincount(grp_code, weights=tf, minlength=n_dict).astype(np.int64)
+    # per-code max over groups: sort groups by code, reduceat at starts
+    order = np.argsort(grp_code)
+    gc_s = grp_code[order]
+    code_new = np.empty(gc_s.size, dtype=bool)
+    code_new[0] = True
+    code_new[1:] = gc_s[1:] != gc_s[:-1]
+    code_starts = np.flatnonzero(code_new)
+    present = gc_s[code_starts]
+    max_tf_p = np.maximum.reduceat(tf[order], code_starts)
+    if scores_np is not None:
+        max_sc_p = np.maximum.reduceat(scores_np[grp_doc][order], code_starts)
+        sc_arr = pa.array(max_sc_p.astype(np.int64), type=pa.int64())
+    else:
+        sc_arr = pa.nulls(present.size, pa.int64())
+    n_term_rows = present.size
+    null_t = pa.nulls(n_term_rows, pa.int64())
+    out.append(
+        pa.RecordBatch.from_arrays(
+            [
+                _const_str_array(fld, n_term_rows),
+                null_t,
+                dictionary.take(pa.array(present, type=pa.int64())),
+                null_t,
+                pa.array(df_p[present].astype(np.int64), type=pa.int64()),
+                pa.array(cf_p[present], type=pa.int64()),
+                pa.array(max_tf_p.astype(np.int64), type=pa.int64()),
+                sc_arr,
+            ],
+            names=[f.name for f in STATS_SCHEMA.fields],
+        )
+    )
+    return out
+
+
+def _stats_rows_python(doc_ids, texts, scores, fld):
+    """Per-row fallback (non-ASCII rows): emit per-doc dl rows and
+    per-(doc, term) UN-aggregated term partials (df=1, cf=tf,
+    max_tf=tf) — valid partials for the same downstream aggregation."""
+    import pyarrow as pa
+
+    from typesense_spark.tokenizer import tokenize
+
+    doc_rows: list[tuple] = []
+    term_rows: list[tuple] = []
+    for i, (doc_id, content) in enumerate(zip(doc_ids, texts)):
+        toks = tokenize(content or "")
+        if not toks:
+            continue
+        doc_rows.append((int(doc_id), len(toks)))
+        per: dict[str, int] = {}
+        for t, _p in toks:
+            per[t] = per.get(t, 0) + 1
+        sc = int(scores[i]) if scores is not None else None
+        for t, tf in per.items():
+            term_rows.append((t, tf, sc))
+    if not doc_rows:
+        return []
+    out = []
+    out.append(
+        pa.RecordBatch.from_arrays(
+            [
+                pa.array([fld] * len(doc_rows), type=pa.string()),
+                pa.array([r[0] for r in doc_rows], type=pa.int64()),
+                pa.nulls(len(doc_rows), pa.string()),
+                pa.array([r[1] for r in doc_rows], type=pa.int64()),
+                pa.nulls(len(doc_rows), pa.int64()),
+                pa.nulls(len(doc_rows), pa.int64()),
+                pa.nulls(len(doc_rows), pa.int64()),
+                pa.nulls(len(doc_rows), pa.int64()),
+            ],
+            names=[f.name for f in STATS_SCHEMA.fields],
+        )
+    )
+    out.append(
+        pa.RecordBatch.from_arrays(
+            [
+                pa.array([fld] * len(term_rows), type=pa.string()),
+                pa.nulls(len(term_rows), pa.int64()),
+                pa.array([r[0] for r in term_rows], type=pa.string()),
+                pa.nulls(len(term_rows), pa.int64()),
+                pa.array([1] * len(term_rows), type=pa.int64()),
+                pa.array([r[1] for r in term_rows], type=pa.int64()),
+                pa.array([r[1] for r in term_rows], type=pa.int64()),
+                pa.array([r[2] for r in term_rows], type=pa.int64()),
+            ],
+            names=[f.name for f in STATS_SCHEMA.fields],
+        )
+    )
+    return out
+
+
+def stats_mapper_arrow(fld: str, has_score: bool):
+    """mapInArrow partial-stats mapper over (doc_id, fld[, score])
+    batches — the r6 stats/dictionary pass (see STATS_SCHEMA note)."""
+    import pyarrow as pa
+
+    def gen(batches):
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            arr = batch.column(1)
+            doc_ids_np = batch.column(0).to_numpy(zero_copy_only=False)
+            scores_np = (
+                batch.column(2).to_numpy(zero_copy_only=False).astype(np.int64)
+                if has_score
+                else None
+            )
+            if arr.null_count:
+                import pyarrow.compute as pc
+
+                arr = pc.fill_null(arr, "")
+            if not pa.types.is_string(arr.type):
+                yield from _stats_rows_python(
+                    doc_ids_np, arr.to_pylist(), scores_np, fld
+                )
+                continue
+            offsets, values = _binary_buffers(arr)
+            offsets = offsets.astype(np.int64)
+            if not (values >= 0x80).any():
+                row_hi = None
+            else:
+                hi = np.zeros(values.size + 1, dtype=np.int64)
+                np.cumsum(values >= 0x80, out=hi[1:])
+                row_hi = (hi[offsets[1:]] - hi[offsets[:-1]]) > 0
+            if row_hi is not None and row_hi.any():
+                idx = np.flatnonzero(row_hi)
+                texts = [arr[int(i)].as_py() for i in idx]
+                yield from _stats_rows_python(
+                    doc_ids_np[idx],
+                    texts,
+                    scores_np[idx] if scores_np is not None else None,
+                    fld,
+                )
+                ascii_idx = np.flatnonzero(~row_hi)
+                if ascii_idx.size == 0:
+                    continue
+                sub = arr.take(pa.array(ascii_idx, type=pa.int64()))
+                offsets, values = _binary_buffers(sub)
+                offsets = offsets.astype(np.int64)
+                doc_ids_np = doc_ids_np[ascii_idx]
+                if scores_np is not None:
+                    scores_np = scores_np[ascii_idx]
+            yield from _stats_batch_ascii(
+                doc_ids_np, offsets, values, scores_np, fld
+            )
+
+    return gen
+
+
+def stats_rows(docs: DataFrame, fld: str, score_col: str | None) -> DataFrame:
+    """``docs[fld]`` → STATS_SCHEMA partial rows (scalar string fields:
+    vectorized mapper; array fields: TF rows aggregated JVM-side into
+    the same shape)."""
+    if dict(docs.dtypes).get(fld, "").startswith("array"):
+        tfa = tokenize_tf(docs, fld, False)
+        if score_col is not None:
+            tfa = tfa.join(
+                docs.select("doc_id", F.col(score_col).cast("long").alias("_sc")),
+                "doc_id",
+            )
+        doc_rows = (
+            tfa.groupBy("field", "doc_id")
+            .agg(F.max("dl").alias("dl"))
+            .select(
+                "field",
+                "doc_id",
+                F.lit(None).cast("string").alias("term"),
+                "dl",
+                F.lit(None).cast("long").alias("df"),
+                F.lit(None).cast("long").alias("cf"),
+                F.lit(None).cast("long").alias("max_tf"),
+                F.lit(None).cast("long").alias("max_score"),
+            )
+        )
+        aggs = [
+            F.count("*").alias("df"),
+            F.sum("tf").alias("cf"),
+            F.max("tf").alias("max_tf"),
+        ]
+        if score_col is not None:
+            aggs.append(F.max("_sc").alias("max_score"))
+        term_rows = (
+            tfa.groupBy("field", "term")
+            .agg(*aggs)
+            .select(
+                "field",
+                F.lit(None).cast("long").alias("doc_id"),
+                "term",
+                F.lit(None).cast("long").alias("dl"),
+                "df",
+                "cf",
+                "max_tf",
+                F.col("max_score")
+                if score_col is not None
+                else F.lit(None).cast("long").alias("max_score"),
+            )
+        )
+        return doc_rows.unionByName(term_rows)
+    cols = ["doc_id", fld]
+    if score_col is not None:
+        cols.append(score_col)
+    src = docs.select(*[F.col(c) for c in cols[:2]], *(
+        [F.col(score_col).cast("long")] if score_col is not None else []
+    ))
+    return src.mapInArrow(
+        stats_mapper_arrow(fld, score_col is not None), schema=STATS_SCHEMA
+    )
+
+
+def _tokenize_rows_python(doc_ids, texts, store_positions, fld):
+    """Per-row fallback (non-ASCII rows): the pinned-spec Python path,
+    identical to the original ``tokenize_mapper`` body."""
+    import pyarrow as pa
+
+    from typesense_spark.tokenizer import tokenize
+
+    doc_out: list[int] = []
+    terms: list[str] = []
+    tfs: list[int] = []
+    dls: list[int] = []
+    flat_vals: list[int] = []
+    counts: list[int] = []
+    for doc_id, content in zip(doc_ids, texts):
+        toks = tokenize(content or "")
+        dl = len(toks)
+        if dl == 0:
+            continue
+        per: dict[str, list[int]] = {}
+        for t, p in toks:
+            per.setdefault(t, []).append(p)
+        for t, ps in per.items():
+            doc_out.append(int(doc_id))
+            terms.append(t)
+            tfs.append(len(ps))
+            dls.append(dl)
+            if store_positions:
+                counts.append(len(ps) + 1)
+                flat_vals.append(len(ps))
+                flat_vals.append(ps[0])
+                for a, b in zip(ps, ps[1:]):
+                    flat_vals.append(b - a)
+    if not terms:
+        return None
+    if store_positions:
+        pos_bins = codec.varint_encode_split(
+            np.asarray(flat_vals, dtype=np.uint64),
+            np.asarray(counts, dtype=np.int64),
+        )
+    else:
+        pos_bins = [b""] * len(terms)
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array([fld] * len(terms), type=pa.string()),
+            pa.array(doc_out, type=pa.int64()),
+            pa.array(terms, type=pa.string()),
+            pa.array(tfs, type=pa.int64()),
+            pa.array(dls, type=pa.int64()),
+            pa.array(pos_bins, type=pa.binary()),
+        ],
+        names=[f.name for f in TF_SCHEMA.fields],
+    )
+
+
+def tokenize_mapper_arrow(fld: str, store_positions: bool):
+    """mapInArrow tokenize + per-doc grouping + position packing.
+
+    The r6 rework of :func:`tokenize_mapper` (guide §4.2): ASCII rows —
+    the overwhelmingly common case — run the fully vectorized
+    :func:`_tokenize_batch_ascii` (byte LUT + Arrow buffer slicing +
+    dictionary-encode grouping); rows containing any non-ASCII byte
+    fall back per row to the pinned Python tokenizer, preserving the
+    full unicode-fold spec. Output rows are identical to the old
+    mapper's up to ordering (downstream is aggregation/shuffle —
+    order-free).
+    """
+    import pyarrow as pa
+
+    def gen(batches):
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            arr = batch.column(1)
+            doc_ids_np = batch.column(0).to_numpy(zero_copy_only=False)
+            if arr.null_count:
+                import pyarrow.compute as pc
+
+                arr = pc.fill_null(arr, "")
+            if not pa.types.is_string(arr.type):
+                out = _tokenize_rows_python(
+                    doc_ids_np, arr.to_pylist(), store_positions, fld
+                )
+                if out is not None:
+                    yield out
+                continue
+            offsets, values = _binary_buffers(arr)
+            offsets = offsets.astype(np.int64)
+            # rows with any byte >= 0x80 take the unicode fallback; the
+            # per-row localisation only runs when the whole batch has
+            # at least one such byte (one cheap reduction otherwise)
+            if not (values >= 0x80).any():
+                row_hi = None
+            else:
+                hi = np.zeros(values.size + 1, dtype=np.int64)
+                np.cumsum(values >= 0x80, out=hi[1:])
+                row_hi = (hi[offsets[1:]] - hi[offsets[:-1]]) > 0
+            if row_hi is not None and row_hi.any():
+                idx = np.flatnonzero(row_hi)
+                texts = [arr[int(i)].as_py() for i in idx]
+                out = _tokenize_rows_python(
+                    doc_ids_np[idx], texts, store_positions, fld
+                )
+                if out is not None:
+                    yield out
+                ascii_idx = np.flatnonzero(~row_hi)
+                if ascii_idx.size == 0:
+                    continue
+                sub = arr.take(pa.array(ascii_idx, type=pa.int64()))
+                offsets, values = _binary_buffers(sub)
+                offsets = offsets.astype(np.int64)
+                doc_ids_np = doc_ids_np[ascii_idx]
+            out = _tokenize_batch_ascii(
+                doc_ids_np, offsets, values, store_positions, fld
+            )
+            if out is not None:
+                yield out
+
+    return gen
+
+
+def tokenize_tf(docs: DataFrame, fld: str, store_positions: bool) -> DataFrame:
+    """``docs[fld]`` → TF rows via the vectorized Arrow tokenizer
+    (scalar string fields) or the array mapper — the one entry point
+    every tokenize consumer (build, streaming append, maintain,
+    checkpoint groups) shares, so they all ride the r6 fast path."""
+    if dict(docs.dtypes).get(fld, "").startswith("array"):
+        return docs.select("doc_id", fld).mapInPandas(
+            tokenize_mapper_array(fld, store_positions), schema=TF_SCHEMA
+        )
+    return docs.select("doc_id", fld).mapInArrow(
+        tokenize_mapper_arrow(fld, store_positions), schema=TF_SCHEMA
+    )
+
+
 def tokenize_mapper(fld: str, store_positions: bool):
     """Map-side tokenize + per-doc term grouping + position packing.
 
@@ -390,20 +970,57 @@ def _pack_batch_arrow(batch, block_size: int, store_positions: bool, fld: str):
     deltas[0] = u[0]
     deltas[1:] = u[1:] - u[:-1] - np.uint64(1)
     deltas[starts] = u[starts]  # each block restarts with a raw id
-    ids_bins = codec.varint_encode_split(deltas, sizes)
-    tfs_bins = codec.varint_encode_split(tfs.astype(np.uint64), sizes)
-    con_bins = codec.varint_encode_split(contribs.astype(np.uint64), sizes)
+
+    def _bin_arr(flat_vals: np.ndarray) -> "pa.Array":
+        # one encode for the whole batch, sliced per block through an
+        # Arrow offsets buffer — no per-block Python bytes objects (r6)
+        buf, boffs = codec.varint_encode_offsets(flat_vals, sizes)
+        return pa.Array.from_buffers(
+            pa.binary(),
+            starts.size,
+            [None, pa.py_buffer(boffs.astype(np.int32)), pa.py_buffer(buf)],
+        )
+
+    ids_arr = _bin_arr(deltas)
+    tfs_arr = _bin_arr(tfs.astype(np.uint64))
+    con_arr = _bin_arr(contribs.astype(np.uint64))
     if store_positions:
         offs, vals = _binary_buffers(batch.column("pos_bin"))
-        vb = vals.tobytes()  # one copy per batch; slices below are per BLOCK
-        pos_bins = [vb[offs[a] : offs[e]] for a, e in zip(starts, ends)]
+        # blocks are contiguous runs of rows, so the block offsets into
+        # the (shared) position value buffer are themselves an Arrow
+        # offsets array — zero copies, zero Python slices
+        blk_off = offs[np.append(starts, n)].astype(np.int64)
+        base = int(blk_off[0])
+        pos_arr = pa.Array.from_buffers(
+            pa.binary(),
+            starts.size,
+            [
+                None,
+                pa.py_buffer((blk_off - base).astype(np.int32)),
+                pa.py_buffer(vals[base : int(blk_off[-1])]),
+            ],
+        )
     else:
-        pos_bins = [b""] * starts.size
+        pos_arr = pa.Array.from_buffers(
+            pa.binary(),
+            starts.size,
+            [None, pa.py_buffer(np.zeros(starts.size + 1, dtype=np.int32)), pa.py_buffer(b"")],
+        )
 
+    fld_b = fld.encode()
+    field_arr = pa.Array.from_buffers(
+        pa.utf8(),
+        starts.size,
+        [
+            None,
+            pa.py_buffer((np.arange(starts.size + 1, dtype=np.int64) * len(fld_b)).astype(np.int32)),
+            pa.py_buffer(fld_b * starts.size),
+        ],
+    )
     starts_pa = pa.array(starts, type=pa.int64())
     return pa.RecordBatch.from_arrays(
         [
-            pa.array([fld] * starts.size, type=pa.string()),
+            field_arr,
             batch.column("term").take(starts_pa),
             pa.array(salts[starts].astype(np.int32), type=pa.int32()),
             pa.array((pos_in_grp[starts] // block_size).astype(np.int32), type=pa.int32()),
@@ -412,10 +1029,10 @@ def _pack_batch_arrow(batch, block_size: int, store_positions: bool, fld: str):
             pa.array(doc_ids[ends - 1], type=pa.int64()),
             pa.array(np.maximum.reduceat(tfs, starts), type=pa.int64()),
             pa.array(np.maximum.reduceat(contribs, starts), type=pa.int64()),
-            pa.array(ids_bins, type=pa.binary()),
-            pa.array(tfs_bins, type=pa.binary()),
-            pa.array(con_bins, type=pa.binary()),
-            pa.array(pos_bins, type=pa.binary()),
+            ids_arr,
+            tfs_arr,
+            con_arr,
+            pos_arr,
         ],
         names=[f.name for f in POSTINGS_SCHEMA.fields],
     )
@@ -477,6 +1094,12 @@ def pack_pipeline(
             "pos_bin",
         )
         packed = (
+            # partition count = spark.sql.shuffle.partitions (session
+            # conf — scale it with the cluster). Measured r6: letting
+            # AQE coalesce this exchange instead (keyed repartition
+            # without a count) made the 2-core pack ~13% SLOWER — the
+            # coalesced partitions push the per-task sort out of cache
+            # — so the explicit conf-driven count stays.
             slim.repartition(n_pack, "term", "salt")
             .sortWithinPartitions("term", "salt", "doc_id")
             .mapInArrow(
@@ -748,15 +1371,7 @@ def build_index(
         docs = docs.persist()
 
     def _tf(with_positions: bool) -> DataFrame:
-        parts = [
-            docs.select("doc_id", fld).mapInPandas(
-                (tokenize_mapper_array if fld in array_fields else tokenize_mapper)(
-                    fld, with_positions
-                ),
-                schema=TF_SCHEMA,
-            )
-            for fld in fields
-        ]
+        parts = [tokenize_tf(docs, fld, with_positions) for fld in fields]
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -766,10 +1381,19 @@ def build_index(
     # the map-side tokenizer is cheap and embarrassingly parallel,
     # while caching tens of millions of tf rows thrashed the heap and
     # made the build ANTI-scale with cores. Recompute > cache here.
-    tf_light = _tf(False)  # dictionary/stats pass (no position bytes)
+    # r6: the dictionary/stats pass no longer ships tf rows at all —
+    # the mapper pre-aggregates per batch (STATS_SCHEMA partials:
+    # per-doc dl rows + per-term df/cf/max_tf[/max_score] partials),
+    # cutting the Python→JVM transfer and aggregation input ~50x
+    # (guide §2.3 "aggregate before you shuffle"; measured 26s → 4s of
+    # the 2-core 100k-doc build).
+    srows = stats_rows(docs, fields[0], score_col)
+    for fld in fields[1:]:
+        srows = srows.unionByName(stats_rows(docs, fld, score_col))
     if persist or persist_light:
-        # narrow rows, shared by stats + terms + doc_attrs actions
-        tf_light = tf_light.persist()
+        # small relation (one row per doc + per-batch term partials),
+        # shared by the doc_attrs / terms / stats-probe consumers
+        srows = srows.persist()
     tf_all = _tf(store_positions)  # pack pass
     if bucket_group is not None:
         # checkpoint-group slice, applied MAP-SIDE before the pack
@@ -779,27 +1403,21 @@ def build_index(
             F.pmod(term_bucket_expr(F.col("term"), num_buckets), F.lit(n_groups)) == g
         )
 
-    # dl rides on every tf row (map-side) → doc_attrs is a narrow agg
-    doc_attrs = tf_light.groupBy("field", "doc_id").agg(F.max("dl").alias("dl"))
-    # term dictionary: df/cf/max_tf — narrow agg with map-side combine
-    terms = tf_light.groupBy("field", "term").agg(
-        F.count("*").alias("df"),
-        F.sum("tf").alias("cf"),
-        F.max("tf").alias("max_tf"),
-    )
+    # per-doc dl rows pass through; the term dictionary is one narrow
+    # agg over the mapper's partials (map-side combine on top)
+    doc_attrs = srows.where(F.col("term").isNull()).select("field", "doc_id", "dl")
+    term_part = srows.where(F.col("doc_id").isNull())
+    aggs = [
+        F.sum("df").alias("df"),
+        F.sum("cf").alias("cf"),
+        F.max("max_tf").alias("max_tf"),
+    ]
     if score_col is not None:
-        # MAX_SCORE token ordering support: max static score per term
-        # (broadcast-joinable doc→score map rides the tf rows; one more
-        # narrow agg with map-side combine)
-        msc = (
-            tf_light.join(
-                docs.select("doc_id", F.col(score_col).cast("long").alias("_sc")),
-                "doc_id",
-            )
-            .groupBy("field", "term")
-            .agg(F.max("_sc").alias("max_score"))
-        )
-        terms = terms.join(msc, ["field", "term"])
+        # MAX_SCORE token ordering support (reference ART leaf
+        # max_score, include/art.h:49-55): the mapper already folded the
+        # per-doc score into per-term partial maxima
+        aggs.append(F.max("max_score").alias("max_score"))
+    terms = term_part.groupBy("field", "term").agg(*aggs)
     if persist or persist_light:
         doc_attrs = doc_attrs.persist()
         terms = terms.persist()
@@ -808,7 +1426,7 @@ def build_index(
     # mirrored exactly by the DuckDB oracle). When the dictionary
     # relations are cached, the SAME job also materializes the terms
     # cache (union probe): both aggregates share the one in-flight
-    # tf_light computation instead of the pack job re-traversing the
+    # srows computation instead of the pack job re-traversing the
     # cache through a second plan-compile + AQE round (r4 VERDICT #3 —
     # fuse the stats/terms/doc_attrs actions onto one pass).
     t_stats = time.time()
@@ -865,5 +1483,5 @@ def build_index(
         report=report,
         block_size=block_size,
     )
-    ix._tf_light = tf_light  # handle for callers that unpersist mid-job
+    ix._tf_light = srows  # handle for callers that unpersist mid-job
     return ix

@@ -192,7 +192,7 @@ def checkpointed_build(
     # bucket slice BEFORE the shuffle + its slice of the pack shuffle,
     # joined against the ON-DISK dictionary — total shuffle volume
     # across all groups stays 1x, and every group commit is independent
-    from typesense_spark.index.build import TF_SCHEMA, pack_pipeline, tokenize_mapper, term_bucket_expr
+    from typesense_spark.index.build import pack_pipeline, tokenize_tf, term_bucket_expr
 
     terms_disk = spark.read.parquet(os.path.join(out_dir, "terms"))
 
@@ -200,10 +200,7 @@ def checkpointed_build(
         stage = f"postings_group_{g}"
         tg = time.time()
         tf_parts = [
-            docs.select("doc_id", fld).mapInPandas(
-                tokenize_mapper(fld, build_kw.get("store_positions", True)),
-                schema=TF_SCHEMA,
-            )
+            tokenize_tf(docs, fld, build_kw.get("store_positions", True))
             for fld in fields
         ]
         tf_g = tf_parts[0]

@@ -26,22 +26,28 @@ import numpy as np
 def varint_encode(values: np.ndarray) -> bytes:
     """LEB128-encode a uint64 numpy array, vectorized.
 
-    Builds up to 10 byte-planes column-wise and interleaves them with a
-    mask — O(total_bytes) numpy work, no Python loop over values.
-    """
+    Fast paths for the dominant cases (every value 1 byte; mixed 1-2
+    bytes — position deltas / tfs / small ids), then a generic
+    byte-plane interleave — O(total_bytes) numpy work, no Python loop
+    over values."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""
-    # number of 7-bit groups per value (at least 1)
-    nbits = np.zeros(v.shape, dtype=np.int64)
-    tmp = v.copy()
-    while True:
-        active = tmp > 0
-        if not active.any():
-            break
-        nbits[active] += 1
-        tmp >>= np.uint64(7)
-    nbytes = np.maximum(nbits, 1)
+    vmax = int(v.max())
+    if vmax < 0x80:
+        return v.astype(np.uint8).tobytes()
+    if vmax < 0x4000:
+        two = v >= np.uint64(0x80)
+        sizes = two.astype(np.int64) + 1
+        starts = np.zeros(v.size, dtype=np.int64)
+        np.cumsum(sizes[:-1], out=starts[1:])
+        out = np.empty(int(starts[-1]) + int(sizes[-1]), dtype=np.uint8)
+        first = (v & np.uint64(0x7F)).astype(np.uint8)
+        first[two] |= np.uint8(0x80)
+        out[starts] = first
+        out[starts[two] + 1] = (v[two] >> np.uint64(7)).astype(np.uint8)
+        return out.tobytes()
+    nbytes = _varint_sizes(v)
     total = int(nbytes.sum())
     out = np.empty(total, dtype=np.uint8)
     # offsets of each value's first byte
@@ -81,35 +87,48 @@ def varint_decode(buf: bytes, count: int | None = None) -> np.ndarray:
 
 
 def _varint_sizes(v: np.ndarray) -> np.ndarray:
-    nbits = np.zeros(v.shape, dtype=np.int64)
-    tmp = v.copy()
-    while True:
-        active = tmp > 0
-        if not active.any():
+    """LEB128 byte count per value: 1 + one comparison per 7-bit
+    threshold actually reached (no repeated shift/copy passes)."""
+    sizes = np.ones(v.shape, dtype=np.int64)
+    vmax = int(v.max()) if v.size else 0
+    for shift in range(7, 64, 7):
+        if vmax < (1 << shift):
             break
-        nbits[active] += 1
-        tmp >>= np.uint64(7)
-    return np.maximum(nbits, 1)
+        sizes += v >= np.uint64(1 << shift)
+    return sizes
 
 
 def varint_encode_split(values: np.ndarray, row_value_counts: np.ndarray) -> list[bytes]:
     """Encode one flat value stream, then slice it into per-row byte
     strings (one numpy encode for a whole Arrow batch instead of one
     per row — the map-side position packer's hot path)."""
+    buf, offsets = varint_encode_offsets(values, row_value_counts)
+    return [buf[offsets[i] : offsets[i + 1]] for i in range(len(offsets) - 1)]
+
+
+def varint_encode_offsets(
+    values: np.ndarray, row_value_counts: np.ndarray
+) -> tuple[bytes, np.ndarray]:
+    """Encode one flat value stream and return ``(buffer, row_offsets)``
+    where row i's bytes are ``buffer[row_offsets[i]:row_offsets[i+1]]``.
+
+    The offsets form feeds an Arrow BinaryArray directly
+    (``pa.Array.from_buffers``), so a 10M-row batch never materializes
+    10M Python ``bytes`` objects — the r6 fix for the pack/tokenize
+    mappers' last per-row Python loop."""
     v = np.asarray(values, dtype=np.uint64)
     counts = np.asarray(row_value_counts, dtype=np.int64)
+    offsets = np.zeros(counts.size + 1, dtype=np.int64)
     if v.size == 0:
-        return [b""] * counts.size
+        return b"", offsets
     buf = varint_encode(v)
     byte_ends = np.cumsum(_varint_sizes(v))
-    value_ends = np.cumsum(counts)
-    out: list[bytes] = []
-    prev_b = 0
-    for ve in value_ends:
-        be = int(byte_ends[ve - 1]) if ve > 0 else 0
-        out.append(buf[prev_b:be])
-        prev_b = be
-    return out
+    ve = np.cumsum(counts)  # value end index per row (inclusive count)
+    # row end byte = byte_ends[last value index of the row]; an empty
+    # row shares its predecessor's end (ve unchanged ⇒ zero-length
+    # slice); rows before the first value end at 0
+    offsets[1:] = np.where(ve > 0, byte_ends[np.maximum(ve, 1) - 1], 0)
+    return buf, offsets
 
 
 def segmented_delta_decode(deltas: np.ndarray, seg_sizes: np.ndarray) -> np.ndarray:

@@ -29,7 +29,7 @@ import shutil
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from typesense_spark.index.build import TF_SCHEMA, term_bucket_expr, tokenize_mapper
+from typesense_spark.index.build import term_bucket_expr, tokenize_tf
 from typesense_spark.index.checkpoint import (
     _has_marker,
     _marker_path,
@@ -49,9 +49,7 @@ def _touched_buckets(rows_df, fields: list[str], num_buckets: int) -> set[int]:
     """Term buckets a (small) set of doc rows touches — tokenize only them."""
     out: set[int] = set()
     for fld in fields:
-        tf = rows_df.select("doc_id", fld).mapInPandas(
-            tokenize_mapper(fld, False), schema=TF_SCHEMA
-        )
+        tf = tokenize_tf(rows_df, fld, False)
         rows = (
             tf.select(term_bucket_expr(F.col("term"), num_buckets).alias("b"))
             .distinct()
@@ -77,12 +75,7 @@ def _swap_dir(write_df, out_dir: str, name: str) -> None:
 def _refresh_doc_attrs(spark: SparkSession, out_dir: str, fields: list[str]) -> None:
     """doc_attrs follows the docs table; terms/stats stay FROZEN."""
     new_docs = spark.read.parquet(os.path.join(out_dir, "docs"))
-    tf_parts = [
-        new_docs.select("doc_id", fld).mapInPandas(
-            tokenize_mapper(fld, False), schema=TF_SCHEMA
-        )
-        for fld in fields
-    ]
+    tf_parts = [tokenize_tf(new_docs, fld, False) for fld in fields]
     tf_all = tf_parts[0]
     for p in tf_parts[1:]:
         tf_all = tf_all.unionByName(p)
@@ -233,12 +226,7 @@ def upsert_docs(
     # docs swap — `incoming` still references the pre-swap docs files.
     terms_path = os.path.join(out_dir, "terms")
     existing_terms = spark.read.parquet(terms_path)
-    tf_parts = [
-        incoming.select("doc_id", fld).mapInPandas(
-            tokenize_mapper(fld, False), schema=TF_SCHEMA
-        )
-        for fld in fields
-    ]
+    tf_parts = [tokenize_tf(incoming, fld, False) for fld in fields]
     tf_inc = tf_parts[0]
     for p in tf_parts[1:]:
         tf_inc = tf_inc.unionByName(p)

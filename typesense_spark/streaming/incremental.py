@@ -38,16 +38,14 @@ def incremental_index_stream(
     max existing id + stream offset) and the content field. Returns the
     StreamingQuery; caller awaits/processes it.
     """
-    from typesense_spark.index.build import TF_SCHEMA, pack_pipeline, tokenize_mapper
+    from typesense_spark.index.build import pack_pipeline, tokenize_tf
 
     spark = index.spark
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        tf = batch_df.select("doc_id", content_field).mapInPandas(
-            tokenize_mapper(content_field, True), schema=TF_SCHEMA
-        )
+        tf = tokenize_tf(batch_df, content_field, True)
         # FROZEN base stats: df from the base dictionary (new terms get
         # df=1 via pack_pipeline's left join), N/avgdl from the base
         # build; salting off (micro-batches are small)
@@ -257,7 +255,7 @@ def snapshotted_index_stream(
     base dictionary/stats come from ``root``'s snapshot meta.
     """
     from typesense_spark.index import snapshots
-    from typesense_spark.index.build import TF_SCHEMA, pack_pipeline, tokenize_mapper
+    from typesense_spark.index.build import pack_pipeline, tokenize_tf
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -265,9 +263,7 @@ def snapshotted_index_stream(
         spark = batch_df.sparkSession
         base = snapshots.load_index(spark, root)
         meta = snapshots.read_manifest(root)["meta"]
-        tf = batch_df.select("doc_id", content_field).mapInPandas(
-            tokenize_mapper(content_field, True), schema=TF_SCHEMA
-        )
+        tf = tokenize_tf(batch_df, content_field, True)
         packed = pack_pipeline(
             spark,
             tf,
