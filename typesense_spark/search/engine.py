@@ -331,6 +331,33 @@ def _get_term_df(index: Index, fields: tuple[str, ...]) -> dict[str, int]:
     return cache[key]
 
 
+# below this many (qidx, term) pairs the candidate map attaches as a
+# LITERAL map expression (pure projection — no createDataFrame driver
+# round-trip, no BroadcastExchange stage per query); larger maps (batch
+# paths, huge expansions) keep the broadcast join
+_QIDX_LITERAL_MAX = 256
+
+
+def _attach_qidx(index: Index, decoded: DataFrame, pairs: list[tuple[int, str]]) -> DataFrame:
+    if len(pairs) <= _QIDX_LITERAL_MAX:
+        by_term: dict[str, list[int]] = {}
+        for i, t in pairs:
+            by_term.setdefault(t, []).append(i)
+        map_expr = F.map_from_arrays(
+            F.array(*[F.lit(t) for t in by_term]),
+            F.array(
+                *[F.array(*[F.lit(i) for i in ids]) for ids in by_term.values()]
+            ),
+        )
+        # explode drops rows whose term is absent from the map — the
+        # same rows an inner join would drop
+        return decoded.withColumn(
+            "qidx", F.explode(F.element_at(map_expr, F.col("term")))
+        )
+    tmap = index.spark.createDataFrame(pairs, schema="qidx int, term string")
+    return decoded.join(F.broadcast(tmap), "term")
+
+
 def _score_tokens(
     index: Index,
     tokens: list[str],
@@ -362,8 +389,7 @@ def _score_tokens(
         decoded = decode_postings(pruned)
     else:
         decoded = index.decoded(all_terms, list(fields))
-    tmap = index.spark.createDataFrame(pairs, schema="qidx int, term string")
-    joined = decoded.join(F.broadcast(tmap), "term")
+    joined = _attach_qidx(index, decoded, pairs)
     if weights:
         # Q12 query_by_weights: per-field best candidate per token, then
         # the doc score sums field-wise WEIGHTED bests (the reference
