@@ -479,7 +479,11 @@ def test_engine_deepening_one_probe_job(built_index, monkeypatch):
 # spec (no single-partition global windows, same smell test as
 # test_prefix_expansion_no_global_window).
 JACCARD_CENSUS = {"agg": 4, "join": 5, "dedupe": 0}
-MINHASH_CENSUS = {"agg": 1, "join": 3, "dedupe": 0}
+# r6: minhash signatures fold to ONE wide groupBy(doc) (16 min columns,
+# no 16x perm cross join) and band keys assemble map-side from the wide
+# row (no per-(doc, band) aggregation) — the only join left is the
+# band-bucket self-join
+MINHASH_CENSUS = {"agg": 1, "join": 1, "dedupe": 0}
 
 
 def _logical_census(df) -> dict:
@@ -515,14 +519,14 @@ def test_jaccard_plan_census_pinned(spark, built_index):
 
 
 def test_minhash_lsh_plan_census_pinned(spark, built_index):
-    """Same pinning for dedup_minhash (drifted 2.67→2.97 s r3→r4): the
-    perm table stays a broadcast cross join (no shuffle for the 16-row
-    explode), bands cached, bucket join on the cached bands."""
+    """Same pinning for dedup_minhash (drifted 2.67→2.97 s r3→r4):
+    signatures are ONE wide per-doc aggregation (r6 — no perm-table
+    cross join, no per-(doc, band) aggregation), bands cached, bucket
+    join on the cached bands."""
     from typesense_spark.ops.dedup import lsh_candidate_pairs
 
     df = lsh_candidate_pairs(built_index.docs, "content")
     phys = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in phys
-    assert "BroadcastExchange" in phys, "perm table must broadcast"
     _assert_no_global_window(phys)
     assert _logical_census(df) == MINHASH_CENSUS, phys

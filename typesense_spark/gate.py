@@ -51,6 +51,15 @@ def _compact_postings(ix):
     compact.count()
     ix.postings.unpersist()
     ix.postings = compact
+    # same treatment for the docs handle (filter keep-sets, facet and
+    # hydration joins all scan it): ~1M docs per cached partition
+    n_docs = ix.stats[next(iter(ix.stats))].n_docs if ix.stats else 0
+    d_parts = max(1, min(int(n_docs // 1_000_000) + 1, ix.docs.rdd.getNumPartitions()))
+    if d_parts < ix.docs.rdd.getNumPartitions():
+        dcompact = ix.docs.repartition(d_parts).persist()
+        dcompact.count()
+        ix.docs.unpersist()
+        ix.docs = dcompact
     return ix
 
 

@@ -1246,8 +1246,22 @@ class Index:
             & F.col("field").isin(fields)
         )
 
-    def decoded(self, terms: list[str], fields: list[str]) -> DataFrame:
-        return decode_postings(self.candidate_postings(terms, fields))
+    def decoded(
+        self, terms: list[str], fields: list[str], spread: bool = False
+    ) -> DataFrame:
+        """``spread=True`` (batch paths): round-robin the pruned packed
+        blocks across the cluster before decoding, so decode width does
+        not inherit the postings cache's partition count — a compacted
+        cache (or a single hot bucket) would otherwise serialize a
+        whole batch's decode onto a few tasks. The exchange moves only
+        the term-pruned compressed blocks. Single-query decodes keep
+        the narrow no-exchange plan."""
+        cand = self.candidate_postings(terms, fields)
+        if spread:
+            p = self.spark.sparkContext.defaultParallelism
+            if cand.rdd.getNumPartitions() < p:
+                cand = cand.repartition(p)
+        return decode_postings(cand)
 
     def term_dict(self, fields: list[str]) -> DataFrame:
         return self.terms.where(F.col("field").isin(fields))

@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from typesense_spark.ops import spread_small_input
 from typesense_spark.tokenizer import explode_tokens
 
 # pinned MinHash parameters (mirrored literally in the oracle SQL)
@@ -79,6 +80,7 @@ def token_shingles(docs: DataFrame, text_col: str, id_col: str = "doc_id", k: in
     """
     from typesense_spark.tokenizer import SPLIT_PATTERN, STRIP_PATTERN
 
+    docs = spread_small_input(docs)
     toks = F.filter(
         F.transform(
             F.split(F.col(text_col), SPLIT_PATTERN, -1),
@@ -210,21 +212,51 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signatures: (doc_id, perm_id, minhash).
 
-    h_i(x) = (a_i·x + b_i) mod p over shingle ids; the perm table is a
-    16-row broadcast cross join, so the whole signature computation is
-    one explode + one groupBy (map-side combined min).
+    h_i(x) = (a_i·x + b_i) mod p over shingle ids. r6 shape: all 16
+    permutation minima are computed as 16 aggregate columns of ONE
+    groupBy(doc_id) over the shingle rows — no 16x row explode before
+    the shuffle (guide §2.3; the r5 form cross-joined a 16-row perm
+    table and shuffled 16x the rows into a (doc, perm) aggregation).
+    The long-exact arithmetic and output rows are identical (min per
+    permutation over the same shingle-id set); unpivoting the wide row
+    back to (doc_id, perm_id, minhash) is map-side.
     """
-    sh = shingle_ids(token_shingles(docs, text_col, id_col), use_hash_ids)
-    spark = docs.sparkSession
-    perms = spark.createDataFrame(
-        [(i, a, b) for i, (a, b) in enumerate(MINHASH_PERMS)],
-        schema="perm_id int, a long, b long",
-    )
     return (
-        sh.crossJoin(F.broadcast(perms))
-        .withColumn("h", (F.col("a") * F.col("sid") + F.col("b")) % F.lit(MINHASH_PRIME))
-        .groupBy("doc_id", "perm_id")
-        .agg(F.min("h").alias("minhash"))
+        _minhash_wide(docs, text_col, id_col, use_hash_ids)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("perm_id"),
+                            F.col(f"h{i}").alias("minhash"),
+                        )
+                        for i in range(len(MINHASH_PERMS))
+                    ]
+                )
+            ).alias("pm"),
+        )
+        .select("doc_id", F.col("pm.perm_id"), F.col("pm.minhash"))
+    )
+
+
+def _minhash_wide(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+    use_hash_ids: bool = True,
+) -> DataFrame:
+    """(doc_id, h0..h15): one wide per-doc aggregation of all
+    permutation minima (map-side combinable)."""
+    sh = shingle_ids(token_shingles(docs, text_col, id_col), use_hash_ids)
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.lit(a) * F.col("sid") + F.lit(b)) % F.lit(MINHASH_PRIME)
+            ).alias(f"h{i}")
+            for i, (a, b) in enumerate(MINHASH_PERMS)
+        ]
     )
 
 
@@ -238,17 +270,47 @@ def lsh_candidate_pairs(
 
     Band key is the concatenation of the band's minhashes (no extra
     hashing — keeps the oracle exact); docs sharing any band bucket
-    become a candidate pair (doc_a < doc_b).
+    become a candidate pair (doc_a < doc_b). r6: band keys assemble
+    MAP-SIDE from the wide per-doc signature row (sort_array over the
+    band's literal "perm:minhash" strings — byte-identical to the old
+    collect_list + sort_array aggregation), so the per-(doc, band)
+    aggregation shuffle is gone entirely.
     """
-    sig = minhash_signatures(docs, text_col, id_col, use_hash_ids)
-    bands = (
-        sig.withColumn("band_id", (F.col("perm_id") / F.lit(LSH_BAND_SIZE)).cast("int"))
-        .groupBy("doc_id", "band_id")
-        .agg(
-            F.concat_ws(
-                ",", F.sort_array(F.collect_list(F.format_string("%d:%d", "perm_id", "minhash")))
-            ).alias("band_key")
+    wide = _minhash_wide(docs, text_col, id_col, use_hash_ids)
+    n_bands = (len(MINHASH_PERMS) + LSH_BAND_SIZE - 1) // LSH_BAND_SIZE
+
+    def _band_key(j: int):
+        perms = [
+            p for p in range(j * LSH_BAND_SIZE, (j + 1) * LSH_BAND_SIZE)
+            if p < len(MINHASH_PERMS)
+        ]
+        return F.concat_ws(
+            ",",
+            F.sort_array(
+                F.array(
+                    *[
+                        F.format_string("%d:%d", F.lit(p), F.col(f"h{p}"))
+                        for p in perms
+                    ]
+                )
+            ),
         )
+
+    bands = (
+        wide.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("band_id"), _band_key(j).alias("band_key")
+                        )
+                        for j in range(n_bands)
+                    ]
+                )
+            ).alias("bk"),
+        )
+        .select("doc_id", F.col("bk.band_id"), F.col("bk.band_key"))
         # cached: the bucket self-join reads this twice, and the
         # signature pipeline above it is the expensive part
         .persist()
@@ -276,7 +338,9 @@ def simhash_fingerprints(
     hash is ``((A·tid + B) mod p) >> j & 1``; all integer arithmetic,
     mirrored in the oracle SQL.
     """
-    tok = explode_tokens(docs.select(id_col, text_col), text_col, id_col)
+    tok = explode_tokens(
+        spread_small_input(docs.select(id_col, text_col)), text_col, id_col
+    )
     tf = tok.groupBy(F.col(id_col).alias("doc_id"), "term").agg(F.count("*").alias("tf"))
     if use_hash_ids:
         tf = tf.withColumn("tid", F.pmod(F.xxhash64("term"), F.lit(MINHASH_PRIME)))
@@ -285,30 +349,38 @@ def simhash_fingerprints(
         w = Window.orderBy("term")
         tids = terms.withColumn("tid", F.dense_rank().over(w).cast("long"))
         tf = tf.join(tids, "term")
-    spark = docs.sparkSession
-    bits = spark.createDataFrame([(j,) for j in range(SIMHASH_BITS)], schema="bit int")
     th = tf.withColumn(
         "h", (F.lit(SIMHASH_A) * F.col("tid") + F.lit(SIMHASH_B)) % F.lit(MINHASH_PRIME)
     )
-    votes = (
-        th.crossJoin(F.broadcast(bits))
-        .withColumn(
-            "vote",
-            # shift amount is a column → SQL expr (F.shiftright wants a literal)
-            F.when(F.expr("(shiftright(h, bit) & 1) = 1"), F.col("tf")).otherwise(
-                -F.col("tf")
-            ),
-        )
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("vote").alias("v"))
+    # r6 shape: the 32 per-bit vote sums are 32 aggregate columns of ONE
+    # groupBy(doc_id) over the (doc, term, tf) rows — no 32x bit-table
+    # cross join before the shuffle (guide §2.3; the r5 form exploded
+    # every tf row 32 ways into a (doc, bit) aggregation and then a
+    # second per-doc aggregation). Same integer votes, same sign rule,
+    # same packed fingerprint; the bit packing is a map-side projection.
+    votes = th.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.expr(f"(shiftright(h, {j}) & 1) = 1"), F.col("tf")
+                ).otherwise(-F.col("tf"))
+            ).alias(f"v{j}")
+            for j in range(SIMHASH_BITS)
+        ]
     )
-    return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
-                F.lit(0).cast("long")
-            )
-        ).alias("simhash")
+    packed = votes.select(
+        "doc_id",
+        sum(
+            [
+                F.when(
+                    F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")
+                ).otherwise(F.lit(0).cast("long"))
+                for j in range(SIMHASH_BITS)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
     )
+    return packed
 
 
 def simhash_pairs(

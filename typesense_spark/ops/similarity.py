@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from typesense_spark.ops import spread_small_input
+
 QUANT = 1000  # milli quantization of embedding values
 
 
@@ -61,7 +63,7 @@ def cosine_topk(
     The query side is tiny → broadcast; the scan side streams once,
     entirely in codegen'd JVM expressions. Ties: cos DESC, neighbor ASC.
     """
-    base = embeddings.select(id_col, quantize_vec(F.col(vec_col)).alias("qv"))
+    base = spread_small_input(embeddings).select(id_col, quantize_vec(F.col(vec_col)).alias("qv"))
     q = base.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col("qv").alias("qvec")
     )
@@ -124,7 +126,7 @@ def kmeans_cells(
     import numpy as np  # driver-side only: seed selection on the sample
 
     spark = embeddings.sparkSession
-    base = embeddings.select(
+    base = spread_small_input(embeddings).select(
         F.col(id_col).alias("vec_id"), quantize_vec(F.col(vec_col)).alias("qv")
     ).persist()
     sample = (
@@ -197,7 +199,7 @@ def ivf_topk(
     recall lever at real scale (single-probe recall cliffs when a query
     sits near a cell boundary).
     """
-    base = embeddings.select(id_col, cell_col, quantize_vec(F.col(vec_col)).alias("qv"))
+    base = spread_small_input(embeddings).select(id_col, cell_col, quantize_vec(F.col(vec_col)).alias("qv"))
     # floor(double division) inside _mean_centroids: matches SQL floor-
     # division semantics for negative sums too (Spark's integer `div`
     # truncates toward zero)
@@ -244,7 +246,7 @@ def cosine_dup_pairs(
     documented recall trade-off (use more k-means iterations or an
     LSH band union to tighten).
     """
-    base = embeddings.select(id_col, quantize_vec(F.col(vec_col)).alias("qv"))
+    base = spread_small_input(embeddings).select(id_col, quantize_vec(F.col(vec_col)).alias("qv"))
     if cells is not None:
         base = base.join(cells.withColumnRenamed("vec_id", id_col), id_col)
         keys = ["cell"]

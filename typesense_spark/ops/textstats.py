@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from typesense_spark.ops import spread_small_input
 from typesense_spark.tokenizer import explode_tokens
 
 # pinned stopword marker lists per language (tiny, heuristic — the
@@ -118,7 +119,9 @@ def fingerprints(
     (each token contributes independently → map-side combinable).
     Term ids: xxhash64 (scale) or dense_rank (oracle parity).
     """
-    tok = explode_tokens(docs.select(id_col, text_col), text_col, id_col)
+    tok = explode_tokens(
+        spread_small_input(docs.select(id_col, text_col)), text_col, id_col
+    )
     if use_hash_ids:
         tok = tok.withColumn("tid", F.pmod(F.xxhash64("term"), F.lit(FP_MOD)))
     else:

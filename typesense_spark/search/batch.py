@@ -332,7 +332,7 @@ def _batch_matched(
         schema="vec_id int, qid string, aidx int, qidx int, term string, "
         "n_tokens int, cost int, is_alt int",
     )
-    decoded = index.decoded(sorted({r[4] for r in rows}), list(fields))
+    decoded = index.decoded(sorted({r[4] for r in rows}), list(fields), spread=True)
     joined = decoded.join(F.broadcast(cmap), "term")
 
     # ---- per-(qid, doc) narrowing relations, built ONCE --------------------
@@ -345,7 +345,7 @@ def _batch_matched(
             sorted(set(excl_rows)), schema="qid string, term string"
         )
         ex_docs = (
-            index.decoded(sorted({t for _, t in excl_rows}), list(fields))
+            index.decoded(sorted({t for _, t in excl_rows}), list(fields), spread=True)
             .join(F.broadcast(emap), "term")
             .select("qid", "doc_id")
             .distinct()
@@ -661,12 +661,23 @@ def batch_search(
         query_by_weights, synonyms, synonym_store, drop_tokens_threshold,
         filters, typo_tokens_threshold,
     )
-    # ---- per-query top-k ----------------------------------------------------
-    w = Window.partitionBy("qid").orderBy(
-        F.col("score_milli").desc(), F.col("doc_id").desc()
+    # ---- per-query top-k, two-phase (r6) ------------------------------------
+    # phase 1 prunes each physical partition to its local top-k per qid
+    # (no exchange — a sort within the aggregation's output partitions),
+    # so the global per-qid window shuffles ≤ k·n_partitions rows per
+    # query instead of every matched row (the full matched set is
+    # typically 10-1000x larger). Row-identical: a doc outside its
+    # partition's local top-k cannot be in the global top-k.
+    order = [F.col("score_milli").desc(), F.col("doc_id").desc()]
+    w1 = Window.partitionBy("qid", F.spark_partition_id()).orderBy(*order)
+    pruned = (
+        merged.withColumn("_rn1", F.row_number().over(w1))
+        .where(F.col("_rn1") <= k)
+        .drop("_rn1")
     )
+    w = Window.partitionBy("qid").orderBy(*order)
     return (
-        merged.withColumn("rank", F.row_number().over(w).cast("long"))
+        pruned.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select("qid", "rank", "doc_id", "score_milli")
     )
