@@ -92,11 +92,16 @@ def test_resume_with_changed_lineage_raises(spark, corpus_df, tmp_path):
 
 def test_assign_doc_ids_rejects_duplicate_keys(spark):
     import pytest
+    from pyspark.errors.exceptions.base import PySparkException
 
     from typesense_spark.index.build import assign_doc_ids
 
+    # r6: the invariant rides the rank window (in-expression
+    # raise_error on adjacent equal keys), so it surfaces at the first
+    # ACTION over the result as a Spark runtime error, not eagerly as
+    # a ValueError — same "not unique" contract
     df = spark.createDataFrame(
         [("r", "p"), ("r", "p"), ("r", "q")], schema="repo string, path string"
     )
-    with pytest.raises(ValueError, match="not unique"):
+    with pytest.raises(PySparkException, match="not unique"):
         assign_doc_ids(df, ["repo", "path"]).collect()

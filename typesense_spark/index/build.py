@@ -153,20 +153,18 @@ def assign_doc_ids(
     bucketed = with_key.withColumn("_bkt", bucket)
 
     # duplicate composite keys would make the row_number tie order (and
-    # therefore doc_ids) nondeterministic across recomputations; detect
-    # them inside the counts pass we already pay for (r1 ADVICE)
+    # therefore doc_ids) nondeterministic across recomputations. r6:
+    # the check rides the rank window itself (equal ADJACENT keys in
+    # the (_bkt, _skey) sort raise in-expression — duplicates are
+    # always adjacent because the bucket is a function of the key), so
+    # the counts job no longer pays a countDistinct over every key
+    # string (~0.6 s/job of the 8-core build's fixed cost). The error
+    # now surfaces at the first ACTION over the result instead of
+    # inside this call — same invariant, message still says
+    # "not unique" (tests pin it).
     stats_rows = (
-        bucketed.groupBy("_bkt")
-        .agg(F.count("*").alias("cnt"), F.countDistinct("_skey").alias("dcnt"))
-        .collect()
+        bucketed.groupBy("_bkt").agg(F.count("*").alias("cnt")).collect()
     )
-    dupes = sum(r["cnt"] - r["dcnt"] for r in stats_rows)
-    if dupes:
-        raise ValueError(
-            f"assign_doc_ids: key_cols {key_cols} are not unique "
-            f"({dupes} duplicate rows) — doc_id assignment would be "
-            "nondeterministic; deduplicate or add a distinguishing key column"
-        )
     counts = {r["_bkt"]: r["cnt"] for r in stats_rows}
     offsets, acc = {}, 0
     for b in sorted(counts):
@@ -181,9 +179,22 @@ def assign_doc_ids(
         else F.lit(0)
     )
     w = Window.partitionBy("_bkt").orderBy("_skey")
+    dup_guard = F.coalesce(
+        F.when(
+            F.lag("_skey").over(w) == F.col("_skey"),
+            F.expr(
+                "CAST(raise_error(concat('assign_doc_ids: key_cols are "
+                "not unique (duplicate key: ', _skey, ') — doc_id "
+                "assignment would be nondeterministic; deduplicate or "
+                "add a distinguishing key column')) AS BIGINT)"
+            ),
+        ),
+        F.lit(0),
+    )
     return (
         bucketed.withColumn(
-            "doc_id", (F.row_number().over(w) - 1 + off_expr).cast("long")
+            "doc_id",
+            (F.row_number().over(w) - 1 + off_expr + dup_guard).cast("long"),
         )
         .drop("_skey", "_bkt")
     )
