@@ -420,21 +420,31 @@ def simhash_pairs(
         )
     n_chunks = max_hamming + 1
     width = (SIMHASH_BITS + n_chunks - 1) // n_chunks
-    spark = docs.sparkSession
     # self-join would otherwise recompute the whole fingerprint lineage
     # twice (verified in .explain); fp is 16 bytes/doc — cache it
     fp = fp.persist()
-    chunks = spark.createDataFrame(
-        [(c, c * width, (1 << min(width, SIMHASH_BITS - c * width)) - 1)
-         for c in range(n_chunks)],
-        schema="chunk_id int, shift int, mask long",
-    )
-    keyed = fp.crossJoin(F.broadcast(chunks)).select(
+    # chunk keys via a literal explode (map-side projection) — the r5
+    # broadcast crossJoin against a chunks table added a join node +
+    # broadcast build to a plan this small op pays to COMPILE once per
+    # call (guide §7.2: fewer operators, same rows)
+    keyed = fp.select(
         "doc_id",
         "simhash",
-        "chunk_id",
-        F.expr("shiftright(simhash, shift) & mask").alias("chunk_val"),
-    )
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.expr(
+                            f"shiftright(simhash, {c * width}) & "
+                            f"{(1 << min(width, SIMHASH_BITS - c * width)) - 1}"
+                        ).alias("chunk_val"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc_id", "simhash", F.col("ck.chunk_id"), F.col("ck.chunk_val"))
     cand = (
         keyed.alias("a")
         .join(keyed.alias("b"), ["chunk_id", "chunk_val"])
