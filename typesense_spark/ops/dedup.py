@@ -156,14 +156,22 @@ def ngram_jaccard_pairs(
     grp = sh.groupBy("shingle").agg(
         F.sort_array(F.collect_list(F.col("doc_id"))).alias("ds")
     )
+    # i<j pairs generated directly from the sorted doc list (index
+    # sequences) — the r5 form built every (a, b) combination and
+    # filtered the rejected half, 2x the struct construction (guide
+    # §1.2 per-task work). `ds` is sort_array'd, so ds[i] < ds[j] for
+    # i < j — identical pairs.
     pairs = grp.where(F.size("ds") >= 2).select(
         F.explode(
             F.flatten(
                 F.transform(
-                    "ds",
-                    lambda a: F.filter(
-                        F.transform("ds", lambda b: F.struct(a.alias("a"), b.alias("b"))),
-                        lambda p: p["a"] < p["b"],
+                    F.sequence(F.lit(1), F.size("ds") - 1),
+                    lambda i: F.transform(
+                        F.sequence(i + 1, F.size("ds")),
+                        lambda j: F.struct(
+                            F.element_at("ds", i).alias("a"),
+                            F.element_at("ds", j).alias("b"),
+                        ),
                     ),
                 )
             )

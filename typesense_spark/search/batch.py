@@ -304,36 +304,42 @@ def _batch_matched(
         _meta["tm_specs"] = {q: sorted(s) for q, s in tm.items()}
 
     # ---- candidate rows: one row per (vector, token-slot, candidate) ------
-    rows: list[tuple[int, str, int, int, str, int, int, int]] = []
-    max_cost: dict[int, int] = {}
-    for v, qid, aidx, toks in vectors:
-        vspecs = [
-            (tok, prefix_last and i == len(toks) - 1) for i, tok in enumerate(toks)
-        ]
-        # synonyms-dict alternates apply to ORGANIC attempts only (the
-        # engine merges them inside the attempt loop; synonym-window
-        # variant vectors score with their own plain expansion)
-        cands = [
-            [(t, c, 0) for t, c in cand_map[s]]
-            + ([(a, 0, 1) for a in alt_of.get(s, [])] if aidx < _SYN_BASE else [])
-            for s in vspecs
-        ]
-        if mode == "and" and any(not c for c in cands):
-            continue  # unsatisfiable AND vector → contributes nothing
-        for i, cand in enumerate(cands):
-            for t, c, alt in cand:
-                rows.append((v, qid, aidx, i, t, len(toks), c, alt))
-                if not alt:
-                    max_cost[v] = max(max_cost.get(v, 0), c)
-    if not rows:
-        return spark.createDataFrame([], schema=_MATCHED_SCHEMA)
-    cmap = spark.createDataFrame(
-        rows,
-        schema="vec_id int, qid string, aidx int, qidx int, term string, "
-        "n_tokens int, cost int, is_alt int",
-    )
-    decoded = index.decoded(sorted({r[4] for r in rows}), list(fields), spread=True)
-    joined = decoded.join(F.broadcast(cmap), "term")
+    def _build_rows(vs):
+        rows: list[tuple[int, str, int, int, str, int, int, int]] = []
+        max_cost: dict[int, int] = {}
+        for v, qid, aidx, toks in vs:
+            vspecs = [
+                (tok, prefix_last and i == len(toks) - 1)
+                for i, tok in enumerate(toks)
+            ]
+            # synonyms-dict alternates apply to ORGANIC attempts only
+            # (the engine merges them inside the attempt loop;
+            # synonym-window variant vectors score with their own plain
+            # expansion)
+            cands = [
+                [(t, c, 0) for t, c in cand_map[sp]]
+                + ([(a, 0, 1) for a in alt_of.get(sp, [])] if aidx < _SYN_BASE else [])
+                for sp in vspecs
+            ]
+            if mode == "and" and any(not c for c in cands):
+                continue  # unsatisfiable AND vector -> contributes nothing
+            for i, cand in enumerate(cands):
+                for t, c, alt in cand:
+                    rows.append((v, qid, aidx, i, t, len(toks), c, alt))
+                    if not alt:
+                        max_cost[v] = max(max_cost.get(v, 0), c)
+        return rows, max_cost
+
+    def _joined_for(rows):
+        cmap = spark.createDataFrame(
+            rows,
+            schema="vec_id int, qid string, aidx int, qidx int, term string, "
+            "n_tokens int, cost int, is_alt int",
+        )
+        decoded = index.decoded(
+            sorted({r[4] for r in rows}), list(fields), spread=True
+        )
+        return decoded.join(F.broadcast(cmap), "term")
 
     # ---- per-(qid, doc) narrowing relations, built ONCE --------------------
     # used by the typo-deepening probe (the engine counts NARROWED
@@ -406,75 +412,41 @@ def _batch_matched(
                 for x in (F.lit(f), F.lit(int(w)))
             ]
         )
-    deepen = (
-        typo_tokens_threshold is not None
-        and num_typos > 0
-        and any(max_cost.values())
-    )
-    # ---- single-vector fast path (r4 VERDICT #1) ---------------------------
-    # The typo-free query-log replay shape — every query unrolled to
-    # exactly ONE vector (no drop-tokens fallback plan, no synonym
-    # windows, no deepening). Per (qid, doc) there is then at most one
-    # scored row, so the per-vector keys (vec_id, aidx), the cutoff
-    # windows, and the final max-merge aggregation are all identity
-    # operations — skipping them restores the r3 two-aggregation plan
-    # (join → per-token max → per-doc sum) and one full shuffle over
-    # the scored set. Queries that need the richer pipeline take the
-    # vector-keyed path below; results are identical either way
-    # (asserted in tests/test_search.py batch parity).
-    if not deepen and all(a == 0 for _v, _q, a, _t in vectors):
-        if query_by_weights:
-            per_ft = joined.groupBy("qid", "n_tokens", "doc_id", "field", "qidx").agg(
-                F.max("contrib").alias("best")
-            )
-            scored = (
-                per_ft.withColumn(
-                    "ws", F.element_at(wmap, F.col("field")) * F.col("best")
+    deepen_on = typo_tokens_threshold is not None and num_typos > 0
+
+    def _score_vectors(rows, max_cost):
+        """One vector subset -> (qid, aidx, doc_id, score_milli); the
+        generic vector-keyed pipeline incl. the typo-deepening
+        conditional aggregation when the subset carries typo costs."""
+        joined = _joined_for(rows)
+        deepen = deepen_on and any(max_cost.values())
+        if not deepen:
+            if query_by_weights:
+                per_ft = joined.groupBy(
+                    "vec_id", "qid", "aidx", "n_tokens", "doc_id", "field", "qidx"
+                ).agg(F.max("contrib").alias("best"))
+                scored = (
+                    per_ft.withColumn(
+                        "ws", F.element_at(wmap, F.col("field")) * F.col("best")
+                    )
+                    .groupBy("vec_id", "qid", "aidx", "n_tokens", "doc_id")
+                    .agg(
+                        F.sum("ws").alias("score_milli"),
+                        F.countDistinct("qidx").alias("nmatch"),
+                    )
                 )
-                .groupBy("qid", "n_tokens", "doc_id")
-                .agg(
-                    F.sum("ws").alias("score_milli"),
-                    F.countDistinct("qidx").alias("nmatch"),
+            else:
+                per_tok = joined.groupBy(
+                    "vec_id", "qid", "aidx", "n_tokens", "doc_id", "qidx"
+                ).agg(F.max("contrib").alias("tok_score"))
+                scored = per_tok.groupBy(
+                    "vec_id", "qid", "aidx", "n_tokens", "doc_id"
+                ).agg(
+                    F.sum("tok_score").alias("score_milli"), F.count("*").alias("nmatch")
                 )
-            )
-        else:
-            per_tok = joined.groupBy("qid", "n_tokens", "doc_id", "qidx").agg(
-                F.max("contrib").alias("tok_score")
-            )
-            scored = per_tok.groupBy("qid", "n_tokens", "doc_id").agg(
-                F.sum("tok_score").alias("score_milli"), F.count("*").alias("nmatch")
-            )
-        if mode == "and":
-            scored = scored.where(F.col("nmatch") == F.col("n_tokens"))
-        return _narrow(scored.select("qid", "doc_id", "score_milli"))
-    if not deepen:
-        if query_by_weights:
-            per_ft = joined.groupBy(
-                "vec_id", "qid", "aidx", "n_tokens", "doc_id", "field", "qidx"
-            ).agg(F.max("contrib").alias("best"))
-            scored = (
-                per_ft.withColumn(
-                    "ws", F.element_at(wmap, F.col("field")) * F.col("best")
-                )
-                .groupBy("vec_id", "qid", "aidx", "n_tokens", "doc_id")
-                .agg(
-                    F.sum("ws").alias("score_milli"),
-                    F.countDistinct("qidx").alias("nmatch"),
-                )
-            )
-        else:
-            per_tok = joined.groupBy(
-                "vec_id", "qid", "aidx", "n_tokens", "doc_id", "qidx"
-            ).agg(F.max("contrib").alias("tok_score"))
-            scored = per_tok.groupBy(
-                "vec_id", "qid", "aidx", "n_tokens", "doc_id"
-            ).agg(
-                F.sum("tok_score").alias("score_milli"), F.count("*").alias("nmatch")
-            )
-        if mode == "and":
-            scored = scored.where(F.col("nmatch") == F.col("n_tokens"))
-        scored = scored.select("qid", "aidx", "doc_id", "score_milli")
-    else:
+            if mode == "and":
+                scored = scored.where(F.col("nmatch") == F.col("n_tokens"))
+            return scored.select("qid", "aidx", "doc_id", "score_milli")
         # ---- typo deepening (Q4 in batch) ----------------------------------
         # the engine probes cost levels 0..max_cost-1 per attempt and
         # stops at the first level whose NARROWED result count reaches
@@ -544,7 +516,7 @@ def _batch_matched(
         # synonym-window variant vectors BYPASS deepening (the engine
         # scores them after the attempt loop with the full expansion —
         # only organic attempts run the probe), pinned to full depth
-        syn_vecs = {v for v, _q, aidx, _t in vectors if aidx >= _SYN_BASE}
+        syn_vecs = {r[0] for r in rows if r[2] >= _SYN_BASE}
         mc_df = spark.createDataFrame(
             sorted(
                 (v, max_cost.get(v, 0), v in syn_vecs)
@@ -580,7 +552,7 @@ def _batch_matched(
                 ]
             )
 
-        scored = (
+        return (
             scored_lv.join(F.broadcast(chosen), "vec_id")
             .withColumn("score_milli", _at_lvl("s"))
             .withColumn("mm", _at_lvl("m"))
@@ -592,33 +564,147 @@ def _batch_matched(
             .select("qid", "aidx", "doc_id", "score_milli")
         )
 
-    # ---- drop-tokens cutoff (organic vectors only) -------------------------
     multi_attempt = any(
         aidx > 0 and aidx < _SYN_BASE for _v, _q, aidx, _t in vectors
     )
-    if multi_attempt:
-        organic = scored.where(F.col("aidx") < _SYN_BASE)
-        syn = scored.where(F.col("aidx") >= _SYN_BASE)
-        first = organic.groupBy("qid", "doc_id").agg(F.min("aidx").alias("fa"))
-        wcum = (
-            Window.partitionBy("qid")
-            .orderBy("fa")
-            .rowsBetween(Window.unboundedPreceding, 0)
+    if not multi_attempt:
+        rows, max_cost = _build_rows(vectors)
+        if not rows:
+            return spark.createDataFrame([], schema=_MATCHED_SCHEMA)
+        # ---- single-vector fast path (r4 VERDICT #1) -----------------------
+        # The typo-free query-log replay shape — every query unrolled to
+        # exactly ONE vector (no drop-tokens fallback plan, no synonym
+        # windows, no deepening). Per (qid, doc) there is then at most
+        # one scored row, so the per-vector keys (vec_id, aidx), the
+        # cutoff windows, and the final max-merge aggregation are all
+        # identity operations — skipping them restores the r3
+        # two-aggregation plan (join → per-token max → per-doc sum) and
+        # one full shuffle over the scored set. Results are identical
+        # either way (asserted in tests/test_search.py batch parity).
+        if not (deepen_on and any(max_cost.values())) and all(
+            a == 0 for _v, _q, a, _t in vectors
+        ):
+            joined = _joined_for(rows)
+            if query_by_weights:
+                per_ft = joined.groupBy(
+                    "qid", "n_tokens", "doc_id", "field", "qidx"
+                ).agg(F.max("contrib").alias("best"))
+                scored = (
+                    per_ft.withColumn(
+                        "ws", F.element_at(wmap, F.col("field")) * F.col("best")
+                    )
+                    .groupBy("qid", "n_tokens", "doc_id")
+                    .agg(
+                        F.sum("ws").alias("score_milli"),
+                        F.countDistinct("qidx").alias("nmatch"),
+                    )
+                )
+            else:
+                per_tok = joined.groupBy("qid", "n_tokens", "doc_id", "qidx").agg(
+                    F.max("contrib").alias("tok_score")
+                )
+                scored = per_tok.groupBy("qid", "n_tokens", "doc_id").agg(
+                    F.sum("tok_score").alias("score_milli"),
+                    F.count("*").alias("nmatch"),
+                )
+            if mode == "and":
+                scored = scored.where(F.col("nmatch") == F.col("n_tokens"))
+            return _narrow(scored.select("qid", "doc_id", "score_milli"))
+        scored = _score_vectors(rows, max_cost).select(
+            "qid", "doc_id", "score_milli"
         )
-        cut = (
-            first.groupBy("qid", "fa")
-            .agg(F.count("*").alias("n_new"))
-            .withColumn("cum", F.sum("n_new").over(wcum))
-            .where(F.col("cum") >= F.lit(int(drop_tokens_threshold)))
-            .groupBy("qid")
-            .agg(F.min("fa").alias("cutoff"))
+    else:
+        # ---- drop-tokens COHORT split (r6) ---------------------------------
+        # The r5 plan scored EVERY query's full fallback-attempt fan-out
+        # and discarded rows past the cutoff afterwards — for a batch
+        # where most queries saturate at attempt 0 (the common case,
+        # and the engine's early-break case) that multiplies the scored
+        # rows ~3x for nothing. Phase 1 scores only attempt-0 + synonym
+        # vectors and counts per-qid attempt-0 matches (one tiny
+        # driver-collected aggregate over the persisted phase-1 rows);
+        # fallback vectors are then unrolled ONLY for the queries below
+        # the threshold, and the original cumulative-cutoff window runs
+        # over just that cohort. Row-identical to the all-vectors plan:
+        # a satisfied query's cutoff is 0 (cum >= threshold at fa=0), so
+        # its fallback rows were always discarded.
+        from typesense_spark.search.engine import _persist_scored
+
+        thr = int(drop_tokens_threshold)
+        a0 = [vec for vec in vectors if vec[2] == 0 or vec[2] >= _SYN_BASE]
+        rows0, mc0 = _build_rows(a0)
+        scored0 = _persist_scored(_score_vectors(rows0, mc0)) if rows0 else None
+        if scored0 is not None:
+            counts0 = {
+                r["qid"]: r["c"]
+                for r in scored0.where(F.col("aidx") < _SYN_BASE)
+                .groupBy("qid")
+                .agg(F.count("*").alias("c"))
+                .collect()
+            }
+            organic0 = scored0.where(F.col("aidx") < _SYN_BASE)
+            syn0 = scored0.where(F.col("aidx") >= _SYN_BASE)
+        else:
+            counts0, organic0, syn0 = {}, None, None
+        fallback_qids = sorted(
+            {q for _v, q, a, _t in vectors if 0 < a < _SYN_BASE}
         )
-        organic = organic.join(F.broadcast(cut), "qid", "left").where(
-            F.col("aidx") <= F.coalesce(F.col("cutoff"), F.lit(_SYN_BASE))
-        )
-        scored = organic.select("qid", "doc_id", "score_milli").unionByName(
-            syn.select("qid", "doc_id", "score_milli")
-        )
+        needy = [q for q in fallback_qids if counts0.get(q, 0) < thr]
+        organic_final = organic0
+        if needy:
+            needy_set = set(needy)
+            vF = [
+                vec
+                for vec in vectors
+                if 0 < vec[2] < _SYN_BASE and vec[1] in needy_set
+            ]
+            rowsF, mcF = _build_rows(vF)
+            scoredF = _score_vectors(rowsF, mcF) if rowsF else None
+            organicN = None
+            if organic0 is not None:
+                organicN = organic0.where(F.col("qid").isin(needy))
+            if scoredF is not None:
+                organicN = (
+                    scoredF if organicN is None else organicN.unionByName(scoredF)
+                )
+            if organicN is not None:
+                first = organicN.groupBy("qid", "doc_id").agg(
+                    F.min("aidx").alias("fa")
+                )
+                wcum = (
+                    Window.partitionBy("qid")
+                    .orderBy("fa")
+                    .rowsBetween(Window.unboundedPreceding, 0)
+                )
+                cut = (
+                    first.groupBy("qid", "fa")
+                    .agg(F.count("*").alias("n_new"))
+                    .withColumn("cum", F.sum("n_new").over(wcum))
+                    .where(F.col("cum") >= F.lit(thr))
+                    .groupBy("qid")
+                    .agg(F.min("fa").alias("cutoff"))
+                )
+                organicN = organicN.join(F.broadcast(cut), "qid", "left").where(
+                    F.col("aidx") <= F.coalesce(F.col("cutoff"), F.lit(_SYN_BASE))
+                )
+                sat = (
+                    organic0.where(~F.col("qid").isin(needy))
+                    if organic0 is not None
+                    else None
+                )
+                organic_final = (
+                    organicN if sat is None else sat.unionByName(organicN)
+                )
+        parts = [
+            pp.select("qid", "doc_id", "score_milli")
+            for pp in (organic_final, syn0)
+            if pp is not None
+        ]
+        if not parts:
+            return spark.createDataFrame([], schema=_MATCHED_SCHEMA)
+        scored = parts[0]
+        for pp in parts[1:]:
+            scored = scored.unionByName(pp)
+
     merged = scored.groupBy("qid", "doc_id").agg(
         F.max("score_milli").alias("score_milli")
     )
