@@ -585,6 +585,17 @@ def _batch_matched(
             a == 0 for _v, _q, a, _t in vectors
         ):
             joined = _joined_for(rows)
+            if not query_by_weights and all(
+                len(toks) == 1 for _v, _q, _a, toks in vectors
+            ):
+                # all-single-token batch (the autocomplete / typo-log
+                # replay shape): per (qid, doc) the token max IS the doc
+                # score and the AND/OR match check is vacuous — one
+                # aggregation instead of two (r6)
+                scored = joined.groupBy("qid", "doc_id").agg(
+                    F.max("contrib").alias("score_milli")
+                )
+                return _narrow(scored)
             if query_by_weights:
                 per_ft = joined.groupBy(
                     "qid", "n_tokens", "doc_id", "field", "qidx"
