@@ -694,8 +694,13 @@ def _batch_matched(
                     .groupBy("qid")
                     .agg(F.min("fa").alias("cutoff"))
                 )
-                organicN = organicN.join(F.broadcast(cut), "qid", "left").where(
-                    F.col("aidx") <= F.coalesce(F.col("cutoff"), F.lit(_SYN_BASE))
+                organicN = (
+                    organicN.join(F.broadcast(cut), "qid", "left")
+                    .where(
+                        F.col("aidx")
+                        <= F.coalesce(F.col("cutoff"), F.lit(_SYN_BASE))
+                    )
+                    .select("qid", "aidx", "doc_id", "score_milli")
                 )
                 sat = (
                     organic0.where(~F.col("qid").isin(needy))
